@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Public Column API over the custom Catalyst expressions, plus SQL
+  * registration. Expressions are bridged Column↔Expression via the
+  * classic-session converters, so no per-session registration is
+  * needed for the Scala API; `register` additionally exposes them to
+  * SQL text.
+  */
+object GraftFunctions {
+
+  def jaro_winkler(l: Column, r: Column): Column =
+    GraftSqlBridge.column(JaroWinkler(GraftSqlBridge.expression(l), GraftSqlBridge.expression(r)))
+
+  def rolling_min_hash(s: Column, window: Column): Column =
+    GraftSqlBridge.column(RollingMinHash(GraftSqlBridge.expression(s), GraftSqlBridge.expression(window)))
+
+  def given_name_sim(l: Column, r: Column): Column =
+    GraftSqlBridge.column(GivenNameSim(GraftSqlBridge.expression(l), GraftSqlBridge.expression(r)))
+
+  def surname_sim(l: Column, r: Column): Column =
+    GraftSqlBridge.column(SurnameSim(GraftSqlBridge.expression(l), GraftSqlBridge.expression(r)))
+
+  /** k independent MinHash values over a token array, built purely
+    * from Catalyst built-ins (stays in whole-stage codegen):
+    * minhash_i(tokens) = min over t of xxhash64(t, i).
+    */
+  def minhash_signature(tokens: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      aggregate(tokens, lit(Long.MaxValue),
+        (acc, t) => least(acc, xxhash64(t, lit(i))))
+    }: _*)
+
+  /** LSH band keys over a string's character shingles: `bands` keys,
+    * each collapsing `rowsPerBand` consecutive minhashes. Two strings
+    * share a band key iff that band's minhashes all agree — the
+    * standard MinHash-LSH banding construction for Jaccard-similar
+    * blocking. One codegen'd kernel (composing ~bands×rows Catalyst
+    * aggregates blows janino's 64 KB method limit).
+    */
+  def minhash_band_keys(s: Column, shingle: Int, bands: Int, rowsPerBand: Int): Column =
+    GraftSqlBridge.column(
+      MinHashBands(GraftSqlBridge.expression(s), shingle, bands, rowsPerBand))
+
+  /** Character n-grams of a string as an array (for MinHash shingling). */
+  def char_ngrams(s: Column, n: Int): Column = {
+    val padded = s
+    filter(
+      transform(sequence(lit(0), greatest(length(padded) - n, lit(0))),
+        i => substring(padded, lit(1) + i, lit(n))),
+      g => length(g) === n)
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      es => JaroWinkler(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_rolling_min_hash",
+      es => RollingMinHash(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_given_name_sim",
+      es => GivenNameSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_surname_sim",
+      es => SurnameSim(es(0), es(1)), "built-in")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the ER scoring kernel.
+  *
+  * These are native codegen'd expressions (not Scala UDFs): they stay
+  * inside whole-stage codegen, avoid Row boxing, and Catalyst can
+  * reason about their null behavior (`nullIntolerant` → null-check
+  * hoisting). The hot inner loops are static JVM kernels in
+  * [[StringSim]]; the generated code calls them directly.
+  *
+  * The reference's equivalents live inside the closed Senzing engine;
+  * the observable contract is the fixture's merged name variants
+  * (/root/reference/test/fixtures/flow-output.jsonl:1 — Robert/Bob/
+  * Robbie Smith under one NAME feature).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.jaroWinklerU(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StringSim.jaroWinklerU($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Given-name similarity (JW + single-letter-initial rule). */
+case class GivenNameSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "given_name_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.givenSimU(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StringSim.givenSimU($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Surname similarity (JW + compound-token containment rule). */
+case class SurnameSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "surname_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringSim.surnameSimU(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StringSim.surnameSimU($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** MinHash-LSH band keys over a string's character shingles — one
+  * codegen'd kernel producing array<long> of `bands` keys.
+  */
+case class MinHashBands(child: Expression, shingle: Int, bands: Int, rows: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_bands"
+  override protected def nullSafeEval(s: Any): Any =
+    StringSim.minHashBands(s.asInstanceOf[UTF8String], shingle, bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.StringSim.minHashBands($s, $shingle, $bands, $rows)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing-style rolling-hash document fingerprint: min 64-bit
+  * Karp–Rabin hash over all byte windows of width `window`.
+  */
+case class RollingMinHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_min_hash"
+
+  override protected def nullSafeEval(s: Any, w: Any): Any =
+    StringSim.rollingMinHash(s.asInstanceOf[UTF8String], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, w) => s"graft.functions.StringSim.rollingMinHash($s, $w)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,54 @@
+package graft.score
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic-value suppression (Senzing's "generic threshold" concept):
+  * a feature value shared by too many docs stops being resolution
+  * evidence — a corporate switchboard phone or a shared
+  * `info@...` mailbox identifies an organization, not a person.
+  *
+  * Contract evidence: in the reference's golden output
+  * (/root/reference/test/fixtures/flow-output.jsonl) no match key ever
+  * credits +EMAIL for `info@ca-state.gov` (≈20 records) or
+  * `Kusha123@hmail.com` (4 records), while 3-record emails like
+  * `bsmith@work.com` and `sthomp45@fmail.com` do resolve — so the
+  * default doc-count threshold here is 4.
+  *
+  * Scale design: per-feature hot-value sets are tiny Zipf heads →
+  * computed with a map-side-combined groupBy and broadcast back; the
+  * feature table is never reshuffled.
+  */
+object Generic {
+
+  /** `threshold` applies to person-exclusive identifiers; addresses are
+    * shared by households/buildings, so their cutoff is higher.
+    */
+  final case class Config(threshold: Int = 4, addrThreshold: Int = 8)
+
+  /** The (flagColumn, valueExpression, isAddr) triples we suppress on. */
+  private def valueCols: Seq[(String, Column, Boolean)] = Seq(
+    ("email_generic", col("email"), false),
+    ("phone_generic", col("phone7"), false),
+    ("addr_generic", when(col("addr.house").isNotNull,
+      concat(col("addr.house"), lit(":"), coalesce(col("addr.street"), lit("")))), true),
+    ("ssn_generic", col("ssn"), false),
+    ("passport_generic", col("passport"), false),
+    ("drlic_generic", col("drlic"), false),
+    ("nid_generic", col("national_id"), false))
+
+  /** Augment the feature table with boolean `*_generic` flags. */
+  def withGenericFlags(features: DataFrame, cfg: Config = Config()): DataFrame =
+    valueCols.foldLeft(features) { case (df, (flagName, valueCol, isAddr)) =>
+      val t = if (isAddr) cfg.addrThreshold else cfg.threshold
+      val hot = features
+        .select(valueCol.as("_gv"))
+        .filter(col("_gv").isNotNull)
+        .groupBy("_gv").count()
+        .filter(col("count") >= t)
+        .select(col("_gv").as(s"_hot_$flagName"))
+      df.join(broadcast(hot), valueCol === col(s"_hot_$flagName"), "left")
+        .withColumn(flagName, col(s"_hot_$flagName").isNotNull)
+        .drop(s"_hot_$flagName")
+    }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.assemble.Assemble
+import graft.io.{SnapshotDiff, SnapshotStore}
+import graft.jobs.ResolveJob
+import graft.model.{Doc, Span}
+import graft.sources.DocCorpus
+import graft.tools.FixtureEval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end golden test against the reference's fixtures — the
+  * north-rule correctness gate: pairwise F1 ≥ 0.99 vs the 74-entity
+  * clustering of /root/reference/test/fixtures/flow-output.jsonl,
+  * plus span-sequence preservation and delta/export semantics
+  * (mirroring /root/reference/test/test_flow.py:82-122).
+  */
+class FixtureResolveSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private lazy val docs = DocCorpus.fromFlatJsonl(spark, FixtureEval.CustomersPath).toDF()
+  private lazy val result = ResolveJob.run(spark, docs)
+  private lazy val golden = FixtureEval.goldenClusters()
+
+  test("pairwise F1 vs reference clustering >= 0.99") {
+    val assign = result.assignments.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val (m, fp, fn) = FixtureEval.evaluate(assign, golden)
+    info(f"precision=${m.precision}%.4f recall=${m.recall}%.4f f1=${m.f1}%.4f fp=${fp.size} fn=${fn.size}")
+    assert(m.f1 >= 0.99, s"FP=$fp FN=$fn")
+    assert(m.recall == 1.0, s"missed pairs: $fn")
+  }
+
+  test("120 records in, ~74 entities out (reference compression ratio)") {
+    val n = result.assignments.select("entity_id").distinct().count()
+    assert(n >= 72 && n <= 75, s"got $n clusters")
+    assert(docs.count() == 120)
+  }
+
+  test("span-sequence invariant: output RECORDS carry original spans in order") {
+    val outSpans = result.entities
+      .select(explode(col("RECORDS")).as("r"))
+      .select(col("r.DOC_ID").as("doc_id"), col("r.SPANS").as("spans"))
+      .as[(String, Seq[Span])].collect().toMap
+    val inSpans = docs.as[Doc].collect().map(d => d.doc_id -> d.spans).toMap
+    assert(outSpans.keySet == inSpans.keySet)
+    inSpans.foreach { case (id, spans) =>
+      assert(outSpans(id).map(s => (s.kind, s.text, s.media_ref, s.offset)) ==
+        spans.map(s => (s.kind, s.text, s.media_ref, s.offset)),
+        s"span sequence changed for $id")
+    }
+  }
+
+  test("interleaved media spans survive (docs ≡ 0 mod 7 carry photo spans)") {
+    val withMedia = docs.as[Doc].collect().filter(_.spans.exists(_.media_ref != null))
+    assert(withMedia.nonEmpty)
+    assert(withMedia.forall(d => d.spans.exists(s => s.kind == "photo" && s.text == null)))
+  }
+
+  test("full export JSONL has one line per entity and is valid JSON") {
+    val lines = Assemble.toExportJson(result.entities).as[String].collect()
+    val nEntities = result.assignments.select("entity_id").distinct().count()
+    assert(lines.length == nEntities)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.foreach { l =>
+      val n = mapper.readTree(l)
+      assert(n.has("RESOLVED_ENTITY") && n.get("RESOLVED_ENTITY").has("ENTITY_ID"))
+    }
+  }
+
+  test("delta semantics: +1 unrelated record → exactly 1 affected entity; rerun → empty") {
+    val tmp = java.nio.file.Files.createTempDirectory("snapstore").toString
+    val store = new SnapshotStore(tmp)
+    store.commit(result.assignments, "assignments")
+
+    // the reference's add_1_record.py analog (dev-scripts/add_1_record.py)
+    val extra = Seq(Doc("TEST:1", Seq(
+      Span("data_source", "TEST", null, 0),
+      Span("record_id", "1", null, 1),
+      Span("name_first", "ERNEST", null, 2),
+      Span("name_last", "HEMINGWAY", null, 3),
+      Span("addr_full", "453 Orange Blossom Path, Key West FL", null, 4)))).toDF()
+    val result2 = ResolveJob.run(spark, docs.unionByName(extra))
+    store.commit(result2.assignments, "assignments")
+
+    val s0 = store.read(spark, "assignments", Some(1))
+    val s1 = store.read(spark, "assignments", Some(2))
+    val affected = SnapshotDiff.affectedEntities(s0, s1).as[String].collect()
+    assert(affected.toSeq == Seq("TEST:1"), s"affected=$affected")
+    assert(SnapshotDiff.affectedEntities(s1, s1).count() == 0)
+    assert(s1.select("entity_id").distinct().count() ==
+      s0.select("entity_id").distinct().count() + 1)
+
+    // delta export: affected ids → entity payloads (J5 semantics)
+    val deltaEntities = result2.entities.join(
+      SnapshotDiff.affectedEntities(s0, s1).withColumnRenamed("entity_id", "eid"),
+      result2.entities("entity_key") === col("eid"), "left_semi")
+    assert(deltaEntities.count() == 1)
+  }
+
+  test("resume: committed snapshots re-read byte-identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("snapstore2").toString
+    val store = new SnapshotStore(tmp)
+    store.commit(result.assignments, "assignments")
+    val again = store.read(spark, "assignments")
+    assert(again.exceptAll(result.assignments).count() == 0)
+    assert(result.assignments.exceptAll(again).count() == 0)
+  }
+
+  test("deterministic entity ids: entity_id is the min member doc_id") {
+    val bad = result.assignments.groupBy("entity_id")
+      .agg(min("doc_id").as("min_doc"))
+      .filter(col("entity_id") =!= col("min_doc"))
+    assert(bad.count() == 0)
+  }
+
+  test("quarantine: records missing required keys are dead-lettered, not dropped") {
+    val tmp = java.nio.file.Files.createTempFile("bad", ".jsonl")
+    java.nio.file.Files.writeString(tmp,
+      "{\"DATA_SOURCE\":\"X\",\"RECORD_ID\":\"1\"}\n{\"DATA_SOURCE\":\"X\"}\nnot json\n")
+    assert(DocCorpus.fromFlatJsonl(spark, tmp.toString).count() == 1)
+    assert(DocCorpus.quarantineFromFlatJsonl(spark, tmp.toString).count() == 2)
+  }
+}
