@@ -17,6 +17,9 @@ object GraftFunctions {
   def rolling_min_hash(s: Column, window: Column): Column =
     GraftSqlBridge.column(RollingMinHash(GraftSqlBridge.expression(s), GraftSqlBridge.expression(window)))
 
+  def simhash64(s: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(s)))
+
   def given_name_sim(l: Column, r: Column): Column =
     GraftSqlBridge.column(GivenNameSim(GraftSqlBridge.expression(l), GraftSqlBridge.expression(r)))
 

@@ -158,6 +158,44 @@ object StringSim {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** 64-bit SimHash over whitespace tokens: each distinct token is
+    * hashed (splitmix64 of a 31-based char hash); per bit, tokens vote
+    * +1/−1; the fingerprint sets bits with positive vote sums
+    * (Charikar, STOC'02). Near-dup docs differ in few bits.
+    */
+  def simHash64(s: UTF8String): Long = {
+    val str = s.toString
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      var h = 1125899906842597L
+      var any = false
+      while (i < n && !Character.isWhitespace(str.charAt(i))) {
+        h = h * 31 + Character.toLowerCase(str.charAt(i)); i += 1; any = true
+      }
+      if (any) {
+        var z = h + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (seen.add(z)) {
+          var b = 0
+          while (b < 64) {
+            if (((z >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** Karp–Rabin-style rolling hash fingerprint of a string: the
     * minimum 64-bit rolling hash over all windows of `w` bytes
     * (winnowing-style document fingerprint; Schleimer et al.,

