@@ -1,24 +1,124 @@
 package graft
+
+import graft.jobs.ResolveJob
+import graft.sources.DocCorpus
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point.
+  *
+  * 1. Times every `SparkEntry.queries` entry on `SPARK_GRAFT_SF_DIR`
+  *    at `SPARK_GRAFT_CPUS` (driver contract).
+  * 2. Runs the ER resolve job on the same deterministic synthetic
+  *    interleaved-doc corpus at two parallelism levels — local[4] (N)
+  *    and local[16] (4N) — and reports docs/s at each plus scaling
+  *    efficiency `eff = (t4/t16)/4` (BASELINE.md protocol: the
+  *    sandbox stand-in for the north rule's N vs 4N executors ≥ 0.8).
+  *    4/16 rather than 8/32 because the host's last 16 hardware
+  *    threads are SMT siblings: a pure-CPU burn loop already tops out
+  *    at 3.26× from 8→32 (eff 0.82 ceiling) but 3.89× from 4→16.
+  *    Each level is preceded by an untimed warmup resolve so janino
+  *    codegen compilation (driver-serial, identical at any cluster
+  *    size) doesn't pollute the scaling measurement.
+  *
+  * Prints ONE JSON line.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Pairwise F1 vs the synthetic corpus's known ground truth (doc ids
+    * encode the entity: truth = (record_id − 10^6) / 3). Computed from
+    * the (predicted, truth) contingency counts — Σ C(n,2) per cell /
+    * row / column — so no pair set is ever materialized; O(docs).
+    */
+  private def syntheticPairF1(assignments: org.apache.spark.sql.DataFrame): Double = {
+    import org.apache.spark.sql.functions._
+    val lab = assignments.select(col("entity_id"),
+      floor((split(col("doc_id"), ":").getItem(1).cast("long") - 1000000L) / 3)
+        .as("truth"))
+    def pairs(grouped: org.apache.spark.sql.DataFrame): Long =
+      grouped.agg(coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L)))
+        .head().getLong(0)
+    val cell = lab.groupBy("entity_id", "truth").agg(count(lit(1)).as("n"))
+    val tp = pairs(cell)
+    val predP = pairs(lab.groupBy("entity_id").agg(count(lit(1)).as("n")))
+    val trueP = pairs(lab.groupBy("truth").agg(count(lit(1)).as("n")))
+    if (predP == 0 || trueP == 0) 0.0
+    else {
+      val prec = tp.toDouble / predP
+      val rec = tp.toDouble / trueP
+      if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+  }
+
+  /** Full resolve (normalize → block → score → CC → assemble) over the
+    * synthetic corpus; returns (docs, seconds).
+    */
+  private def timedResolve(cpus: Int, nEntities: Long): (Long, Double, Double) = {
+    val spark = session(cpus)
+    try {
+      // warmup: populates the JVM-wide generated-code cache so the
+      // timed run measures data-parallel work, not driver compilation
+      ResolveJob.run(spark, DocCorpus.synthetic(spark, 2000, seed = 7L).toDF(),
+        ResolveJob.Config(numberEntities = false))
+        .entities.write.mode("overwrite").format("noop").save()
+      val docs = DocCorpus.synthetic(spark, nEntities).toDF()
+      val t0 = System.nanoTime()
+      val result = ResolveJob.run(spark, docs,
+        ResolveJob.Config(numberEntities = false))
+      val nDocs = result.assignments.count()
+      result.entities.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      (nDocs, secs, syntheticPairF1(result.assignments))
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "200000").toLong
+    val skipScaling = sys.env.contains("SPARK_GRAFT_SKIP_SCALING")
+
+    // --- headline queries ---
+    val results = if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Seq.empty else {
+      val spark = session(cpus)
+      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        name -> ((System.nanoTime() - t0) / 1e9, n)
+      }
+      spark.stop()
+      r
+    }
+
+    // --- two-parallelism ER scaling run ---
+    val scaling = if (skipScaling) "" else {
+      val (nDocsN, tN, f1N) = timedResolve(4, scaleN)
+      val (nDocs4N, t4N, f14N) = timedResolve(16, scaleN)
+      require(nDocsN == nDocs4N && f1N == f14N) // parallelism-invariant
+      val thrN = nDocsN / tN
+      val thr4N = nDocs4N / t4N
+      val eff = (tN / t4N) / 4.0
+      f""","scaling":{"docs":$nDocsN,"t_local4_sec":$tN%.2f,"t_local16_sec":$t4N%.2f,"docs_per_sec_4":$thrN%.0f,"docs_per_sec_16":$thr4N%.0f,"efficiency":$eff%.3f,"synthetic_pair_f1":$f1N%.4f}"""
+    }
+
+    val qs = results.map { case (k, (sec, _)) => "\"" + k + f"""\":$sec%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val rows = results.map { case (k, (_, n)) => "\"" + k + s"""\":$n""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"rows":$rows,"sf":"$sfDir","cpus":$cpus$scaling}""")
   }
 }

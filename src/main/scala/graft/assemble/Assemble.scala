@@ -77,6 +77,7 @@ object Assemble {
     */
   def entities(
       features: DataFrame,
+      docsWithSpans: DataFrame, // (doc_id, spans)
       assignments: DataFrame,
       edges: DataFrame,
       numberEntities: Boolean = true): DataFrame = {
@@ -85,6 +86,7 @@ object Assemble {
     val matchInfo = perDocMatchInfo(resolved)
 
     val docs = features
+      .join(docsWithSpans.select("doc_id", "spans"), "doc_id")
       .join(assignments, "doc_id")
       .join(matchInfo, Seq("doc_id"), "left")
       .withColumn("feature_entries", docFeatureEntries)

@@ -23,11 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Blocking {
 
+  /** LSH banding: P(candidate) = 1-(1-J^rows)^bands — rows=6 keeps the
+    * low-similarity mass out (J=0.2 pairs: ~4e-4) while J≥0.8 name
+    * pairs still collide with p≈0.85.
+    */
   final case class Config(
-      maxBlockSize: Int = 200,
+      maxBlockSize: Int = 64,
       useLsh: Boolean = true,
-      lshBands: Int = 4,
-      lshRows: Int = 3)
+      lshBands: Int = 6,
+      lshRows: Int = 6)
 
   /** (doc_id, bkey) pairs, exploded and de-duplicated. */
   def blockingKeys(features: DataFrame, cfg: Config = Config()): DataFrame = {
@@ -42,9 +46,16 @@ object Blocking {
       // address: house number × first two street tokens
       concat(lit("A:"), col("addr.house"), lit(":"), get(col("addr.stokens"), lit(0))),
       concat(lit("A:"), col("addr.house"), lit(":"), get(col("addr.stokens"), lit(1))),
-      // surname-phonetic × birth year (and the swapped arrangement)
-      concat(lit("ND:"), soundex(get(split(col("surname"), " "), lit(0))), lit(":"), col("dob.y").cast("string")),
-      concat(lit("ND:"), soundex(get(split(col("given_can"), " "), lit(0))), lit(":"), col("dob.y").cast("string")))
+      // surname-phonetic × (year, month) and × (year, day) in ONE key
+      // namespace (so month/day-swapped DOBs still collide). Keys carry a dob component because bare
+      // soundex×year blocks are Zipf-headed (given-name phonetics
+      // especially — ~10^1 distinct codes cover most of a population);
+      // swapped first/last fields are covered by the LSH bands, which
+      // are order-free over the name's character shingles.
+      concat(lit("ND:"), soundex(get(split(col("surname"), " "), lit(0))), lit(":"),
+        col("dob.y").cast("string"), lit(":"), col("dob.m").cast("string")),
+      concat(lit("ND:"), soundex(get(split(col("surname"), " "), lit(0))), lit(":"),
+        col("dob.y").cast("string"), lit(":"), col("dob.d").cast("string")))
     val allKeys =
       if (cfg.useLsh)
         concat(detKeys,

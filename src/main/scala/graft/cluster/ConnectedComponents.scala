@@ -43,6 +43,12 @@ object ConnectedComponents {
       maxIterations: Int = 50,
       checkpointDir: Option[String] = None): (DataFrame, Stats) = {
 
+    // Per-iteration materialization MUST truncate the logical plan
+    // (localCheckpoint / parquet snapshot), not merely persist: each
+    // iteration references the previous frame ~16× (two self-joins of
+    // two unions), so un-truncated plans grow 16^k and AQE's
+    // plan-description stringification alone takes minutes by
+    // iteration 4.
     def checkpoint(df: DataFrame, iter: Int): DataFrame = checkpointDir match {
       case Some(dir) =>
         val path = s"$dir/cc_iter_$iter"

@@ -38,6 +38,12 @@ object ResolveJob {
       metrics: Map[String, Long])
 
   def run(spark: SparkSession, docs: DataFrame, cfg: Config = Config()): Result = {
+    // Catalyst constraint propagation is O(2^n) over the scoring
+    // case-when trees and dominates driver time when stage outputs are
+    // checkpointed (LogicalRDD.rewriteStatsAndConstraints). The
+    // pipeline's joins/filters are explicit, so inferred constraints
+    // buy nothing here.
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     // Stage boundaries are materialized with eager localCheckpoint (or a
     // snapshot-table write in production): this truncates the LOGICAL
     // plan, not just the physical one — the normalize projection is a
@@ -45,8 +51,9 @@ object ResolveJob {
     // (and re-optimize) N copies of it costs minutes of driver CPU in
     // Catalyst transforms. It is also the resumability story: each
     // boundary is a committed snapshot (north rule).
+    val docsSnap = docs.localCheckpoint(true)
     val feats = Generic.withGenericFlags(
-      Normalize.features(docs).localCheckpoint(true),
+      Normalize.features(docsSnap).localCheckpoint(true),
       cfg.generic).localCheckpoint(true)
 
     val pairsObs = new Observation("pairs_generated")
@@ -55,18 +62,28 @@ object ResolveJob {
     val blocks = Blocking.blockingKeys(feats, cfg.blocking)
     val pairs = Blocking.candidatePairs(blocks, cfg.blocking)
       .observe(pairsObs, count(lit(1)).as("pairs_generated"))
-    val edges = Scoring.scorePairs(pairs, feats, cfg.weights)
-      .observe(edgesObs,
-        count(lit(1)).as("pairs_scored"),
-        count(when(col("level") === "RESOLVED", 1)).as("edges_resolved"))
-      .localCheckpoint(true)
+    // Whole-stage codegen is disabled for the scoring action only: the
+    // comparator tree fused into the nested broadcast joins re-emits
+    // deferred column extractions at every use site (>64 KB method →
+    // janino failure → interpreted eval). Per-operator codegen splits
+    // methods fine and compiles. localCheckpoint(true) executes the
+    // stage eagerly inside this conf window.
+    val nDocs = feats.count()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val edges = try {
+      Scoring.scorePairs(pairs, feats, cfg.weights, broadcastFeatures = nDocs < 3000000)
+        .observe(edgesObs,
+          count(lit(1)).as("pairs_scored"),
+          count(when(col("level") === "RESOLVED", 1)).as("edges_resolved"))
+        .localCheckpoint(true)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
 
     val resolved = edges.filter(col("level") === "RESOLVED")
     val (assignments, stats) = ConnectedComponents.assign(
       spark, feats.select("doc_id"), resolved, cfg.checkpointDir)
     val assignP = assignments.localCheckpoint(true)
 
-    val entities = Assemble.entities(feats, assignP, edges, cfg.numberEntities)
+    val entities = Assemble.entities(feats, docsSnap, assignP, edges, cfg.numberEntities)
 
     // CC already ran actions over `resolved` (hence `edges`), so the
     // observations are populated; entity assembly is left lazy.

@@ -279,9 +279,12 @@ object Normalize {
 
     val genderRaw = upper(trim(spanText(sp, "gender")))
 
+    // spans deliberately NOT carried: the feature table is checkpointed
+    // and fanned out through joins at every stage — keeping it narrow
+    // (~300 B/row vs ~1.5 KB with spans) halves stage-snapshot IO. The
+    // assembler re-joins the docs table for the span-sequence output.
     docs.select(
       col("doc_id"),
-      sp.as("spans"),
       spanText(sp, "data_source").as("data_source"),
       spanText(sp, "record_id").as("record_id"),
       upper(trim(spanText(sp, "record_type"))).as("record_type"),

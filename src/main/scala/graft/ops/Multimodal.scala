@@ -69,6 +69,7 @@ object Multimodal {
   def frameSample(withMedia: DataFrame, everyK: Int = 32): DataFrame =
     withMedia.select(
       col("doc_id"),
-      explode(sequence(lit(0), greatest((length(col("media")) / everyK) - 1, lit(0))))
+      explode(sequence(lit(0),
+        greatest(floor(length(col("media")) / everyK).cast("int") - 1, lit(0))))
         .as("frame_idx"))
 }

@@ -37,18 +37,32 @@ object Generic {
     ("drlic_generic", col("drlic"), false),
     ("nid_generic", col("national_id"), false))
 
-  /** Augment the feature table with boolean `*_generic` flags. */
-  def withGenericFlags(features: DataFrame, cfg: Config = Config()): DataFrame =
-    valueCols.foldLeft(features) { case (df, (flagName, valueCol, isAddr)) =>
-      val t = if (isAddr) cfg.addrThreshold else cfg.threshold
-      val hot = features
-        .select(valueCol.as("_gv"))
-        .filter(col("_gv").isNotNull)
-        .groupBy("_gv").count()
-        .filter(col("count") >= t)
-        .select(col("_gv").as(s"_hot_$flagName"))
-      df.join(broadcast(hot), valueCol === col(s"_hot_$flagName"), "left")
+  /** Augment the feature table with boolean `*_generic` flags.
+    *
+    * One exploded aggregate computes every family's hot set in a single
+    * scan of the feature table (vs one scan per family); the tiny hot
+    * table is persisted and broadcast back per family.
+    */
+  def withGenericFlags(features: DataFrame, cfg: Config = Config()): DataFrame = {
+    val exploded = features.select(explode(array(valueCols.map {
+      case (flagName, valueCol, _) =>
+        struct(lit(flagName).as("fam"), valueCol.as("v"))
+    }: _*)).as("fv"))
+      .filter(col("fv.v").isNotNull)
+      .select(col("fv.fam").as("fam"), col("fv.v").as("v"))
+    val thresholdOf = typedlit(valueCols.map { case (f, _, isAddr) =>
+      f -> (if (isAddr) cfg.addrThreshold else cfg.threshold)
+    }.toMap)
+    val hot = exploded.groupBy("fam", "v").count()
+      .filter(col("count") >= element_at(thresholdOf, col("fam")))
+      .select("fam", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    valueCols.foldLeft(features) { case (df, (flagName, valueCol, _)) =>
+      val hotFam = hot.filter(col("fam") === flagName)
+        .select(col("v").as(s"_hot_$flagName"))
+      df.join(broadcast(hotFam), valueCol === col(s"_hot_$flagName"), "left")
         .withColumn(flagName, col(s"_hot_$flagName").isNotNull)
         .drop(s"_hot_$flagName")
     }
+  }
 }

@@ -9,6 +9,18 @@ import org.apache.spark.sql.functions._
   * columns (whole-stage codegen end to end; the only non-built-in
   * kernels are the codegen'd name-similarity expressions).
   *
+  * Physical shape (matters at 10^12 pairs):
+  *   stage 1 — joins the candidate pairs to the feature table twice
+  *   (broadcast when the feature side is small, SMJ otherwise) and
+  *   reduces every comparator to a NARROW scalar (two name sims +
+  *   boolean/int agreement codes, ~60 bytes/row);
+  *   stage 2 — separated by a repartition barrier, folds the scalars
+  *   into points, score, MATCH_KEY, and level.
+  * The barrier is deliberate: fused join+project stages cannot split
+  * oversized generated methods, so the full scoring tree in one stage
+  * exceeds janino's 64 KB limit and silently falls back to interpreted
+  * eval (~50× slower). Two compiled stages + a narrow shuffle win.
+  *
   * Weights/thresholds are calibrated against the reference's golden
   * clustering (/root/reference/test/fixtures/flow-output.jsonl):
   * every RESOLVED merge there has name support plus ≥1 agreeing
@@ -60,121 +72,167 @@ object Scoring {
     "email_generic", "phone_generic", "addr_generic", "ssn_generic",
     "passport_generic", "drlic_generic", "nid_generic")
 
+  /** -1 = disagree, 0 = not comparable (missing / generic), 1 = agree. */
+  private def cmp3(l: Column, r: Column, generic: Column): Column =
+    when(l.isNotNull && r.isNotNull,
+      when(l === r, when(generic, 0).otherwise(1)).otherwise(-1)).otherwise(0)
+
   /** Score candidate pairs. `pairs` has (doc_a, doc_b); `features` is
-    * the Normalize output. Returns one row per pair with per-feature
-    * points, total score, MATCH_KEY, and level.
+    * the Normalize output (with generic flags). Returns one row per
+    * pair with score, MATCH_KEY, and level.
     */
-  def scorePairs(pairs: DataFrame, features: DataFrame, w: Weights = Weights()): DataFrame = {
-    val f = features.select(scoringColumns.map(col): _*)
+  def scorePairs(pairs: DataFrame, features: DataFrame, w: Weights = Weights(),
+      broadcastFeatures: Boolean = false): DataFrame = {
+    // The candidate-pair side is ~an order of magnitude wider than the
+    // feature side; broadcasting features avoids shuffling+sorting the
+    // pair table twice. Callers enable it when the feature table fits
+    // executor memory (ResolveJob decides from the materialized count);
+    // at 10^12 docs the SMJ (or a bucketed co-located join) is the path.
+    val f0 = features.select(scoringColumns.map(col): _*)
+    val f = if (broadcastFeatures) broadcast(f0) else f0
+    // Stage 1 is ONLY the fan-out join + a plain column passthrough,
+    // closed by a repartition barrier. Fusing the comparator projection
+    // into the nested broadcast joins makes codegen re-extract the
+    // build-side columns inside every conditional branch (observed:
+    // 25k-line stage, janino 64 KB failure, interpreted fallback).
+    // After the barrier the comparators run on row input, where
+    // generated methods can split.
     val joined = pairs
       .join(f.as("a"), col("doc_a") === a("doc_id"))
       .join(f.as("b"), col("doc_b") === b("doc_id"))
+      .select((Seq(col("doc_a"), col("doc_b")) ++
+        scoringColumns.filterNot(_ == "doc_id").map(c => a(c).as(s"a_$c")) ++
+        scoringColumns.filterNot(_ == "doc_id").map(c => b(c).as(s"b_$c"))): _*)
 
-    // ---- name ----
-    val sA = coalesce(a("surname"), a("org_name"))
-    val sB = coalesce(b("surname"), b("org_name"))
+    def a2(c: String): Column = col(s"a_$c")
+    def b2(c: String): Column = col(s"b_$c")
+
+    // ---- stage 2a: narrow comparator scalars ----
+    val sA = coalesce(a2("surname"), a2("org_name"))
+    val sB = coalesce(b2("surname"), b2("org_name"))
+    // each sim kernel is invoked exactly ONCE here; the arrangement
+    // (straight vs swapped) is decided in stage 2 on the scalars
     val gs = greatest(
-      given_name_sim(a("given_raw"), b("given_raw")),
-      given_name_sim(a("given_can"), b("given_can")))
+      given_name_sim(a2("given_raw"), b2("given_raw")),
+      given_name_sim(a2("given_can"), b2("given_can")))
     val ss = surname_sim(sA, sB)
-    val compStraight = lit(0.55) * gs + lit(0.45) * ss
-    // swapped arrangement (first/last transposed on one side)
-    val gsSwap = given_name_sim(a("given_can"), sB)
-    val ssSwap = given_name_sim(sA, b("given_can"))
-    val compSwap = lit(0.55) * gsSwap + lit(0.45) * ssSwap
-    val useSwap = compSwap.isNotNull && (compStraight.isNull || (compSwap > compStraight))
-    val comp = when(useSwap, compSwap).otherwise(compStraight)
-    val gsBest = when(useSwap, gsSwap).otherwise(gs)
-    val ssBest = when(useSwap, ssSwap).otherwise(ss)
+    val gsSwap = given_name_sim(a2("given_can"), sB)
+    val ssSwap = given_name_sim(sA, b2("given_can"))
 
-    val bothFull = gsBest.isNotNull && ssBest.isNotNull
+    val (ya, ma, da) = (a2("dob.y"), a2("dob.m"), a2("dob.d"))
+    val (yb, mb, db) = (b2("dob.y"), b2("dob.m"), b2("dob.d"))
+    val bothDob = a2("dob").isNotNull && b2("dob").isNotNull
+    val yNear = abs(ya - yb) <= 1
+    val dRevB = (db % 10) * 10 + floor(db / 10).cast("int")
+    // 2 = exact/swap, 1 = near, -1 = disagree, 0 = not comparable
+    val dobCmp =
+      when(bothDob && ya === yb && ma === mb && da === db, 2)
+        .when(bothDob && ma === db && da === mb && yNear, 2)
+        .when(bothDob && ma === mb && da === db && yNear, 1)
+        .when(bothDob && ya === yb && ma === mb && (abs(da - db) <= 1 || da === dRevB), 1)
+        .when(bothDob, -1)
+        .otherwise(0)
+
+    // 2 = full match, 1 = suffix-7 match, 0 = not comparable
+    val phoneCmp =
+      when(a2("phone7").isNotNull && b2("phone7").isNotNull &&
+        a2("phone7") === b2("phone7") && !a2("phone_generic"),
+        when(a2("phone_digits") === b2("phone_digits"), 2).otherwise(1))
+        .otherwise(0)
+
+    val narrow = joined.select(
+      col("doc_a"), col("doc_b"),
+      gs.as("gs_straight"), ss.as("ss_straight"),
+      gsSwap.as("gs_swap"), ssSwap.as("ss_swap"),
+      (a2("generation").isNotNull && b2("generation").isNotNull &&
+        a2("generation") =!= b2("generation")).as("gen_conflict"),
+      dobCmp.as("dob_cmp"),
+      phoneCmp.as("phone_cmp"),
+      (a2("email").isNotNull && a2("email") === b2("email") && !a2("email_generic"))
+        .as("email_eq"),
+      cmp3(a2("ssn"), b2("ssn"), a2("ssn_generic")).as("ssn_cmp"),
+      cmp3(a2("passport"), b2("passport"), a2("passport_generic")).as("passport_cmp"),
+      cmp3(a2("drlic"), b2("drlic"), a2("drlic_generic")).as("drlic_cmp"),
+      cmp3(a2("national_id"), b2("national_id"), a2("nid_generic")).as("nid_cmp"),
+      (a2("addr.house").isNotNull && a2("addr.house") === b2("addr.house") &&
+        size(array_intersect(a2("addr.stokens"), b2("addr.stokens"))) >= 1 &&
+        !a2("addr_generic")).as("addr_eq"),
+      cmp3(a2("gender"), b2("gender"), lit(false)).as("gender_cmp"),
+      (a2("record_type").isNotNull && b2("record_type").isNotNull &&
+        a2("record_type") =!= b2("record_type")).as("type_block"))
+
+    // ---- stage 2: points, score, MATCH_KEY, level ----
+    val compStraight = lit(0.55) * col("gs_straight") + lit(0.45) * col("ss_straight")
+    val compSwap = lit(0.55) * col("gs_swap") + lit(0.45) * col("ss_swap")
+    val useSwap = compSwap.isNotNull && (compStraight.isNull || (compSwap > compStraight))
+    val arranged = narrow
+      .withColumn("gs", when(useSwap, col("gs_swap")).otherwise(col("gs_straight")))
+      .withColumn("ss", when(useSwap, col("ss_swap")).otherwise(col("ss_straight")))
+    val gsB = col("gs")
+    val ssB = col("ss")
+    val bothFull = gsB.isNotNull && ssB.isNotNull
     // Strong agreement needs BOTH components: a shared surname must not
     // compensate a conflicting given name (the fixture's Mark/Marsha
     // twins share surname+DOB+address+email and still stay separate).
     val namePts =
-      when(bothFull && gsBest >= 0.92 && ssBest >= 0.88, w.nameStrong)
-        .when(bothFull && gsBest < 0.65 && ssBest < 0.65, w.nameDisagree)
+      when(bothFull && gsB >= 0.92 && ssB >= 0.88, w.nameStrong)
+        .when(bothFull && gsB < 0.65 && ssB < 0.65, w.nameDisagree)
         .when(bothFull, 0.0)
-        .when(gsBest.isNotNull && gsBest >= 0.9, w.nameGivenOnly)
-        .when(ssBest.isNotNull && ssBest >= 0.92, w.nameSurnameOnly)
-        .when(ssBest.isNotNull && ssBest < 0.6, w.nameDisagree / 2)
+        .when(gsB.isNotNull && gsB >= 0.9, w.nameGivenOnly)
+        .when(ssB.isNotNull && ssB >= 0.92, w.nameSurnameOnly)
+        .when(ssB.isNotNull && ssB < 0.6, w.nameDisagree / 2)
         .otherwise(0.0)
-    val genPts = when(a("generation").isNotNull && b("generation").isNotNull &&
-      a("generation") =!= b("generation"), w.generationDisagree).otherwise(0.0)
+    val genPts = when(col("gen_conflict"), w.generationDisagree).otherwise(0.0)
+    val dobPts = when(col("dob_cmp") === 2, w.dobExact)
+      .when(col("dob_cmp") === 1, w.dobNear)
+      .when(col("dob_cmp") === -1, w.dobDisagree).otherwise(0.0)
+    val phonePts = when(col("phone_cmp") === 2, w.phoneFull)
+      .when(col("phone_cmp") === 1, w.phoneSuffix).otherwise(0.0)
+    val emailPts = when(col("email_eq"), w.email).otherwise(0.0)
+    def idPts(c: String, agree: Double, disagree: Double): Column =
+      when(col(c) === 1, agree).when(col(c) === -1, disagree).otherwise(0.0)
+    val ssnPts = idPts("ssn_cmp", w.ssn, w.ssnDisagree)
+    val passportPts = idPts("passport_cmp", w.passport, w.passportDisagree)
+    val drlicPts = idPts("drlic_cmp", w.drlic, w.drlicDisagree)
+    val nidPts = idPts("nid_cmp", w.nationalId, w.nationalIdDisagree)
+    val addrPts = when(col("addr_eq"), w.addr).otherwise(0.0)
+    val genderPts = idPts("gender_cmp", w.genderAgree, w.genderDisagree)
 
-    // ---- dob ----
-    val (ya, ma, da) = (a("dob.y"), a("dob.m"), a("dob.d"))
-    val (yb, mb, db) = (b("dob.y"), b("dob.m"), b("dob.d"))
-    val bothDob = a("dob").isNotNull && b("dob").isNotNull
-    val yNear = abs(ya - yb) <= 1
-    val dRevB = (db % 10) * 10 + floor(db / 10).cast("int")
-    val dobPts =
-      when(bothDob && ya === yb && ma === mb && da === db, w.dobExact)
-        .when(bothDob && ma === db && da === mb && yNear, w.dobExact)
-        .when(bothDob && ma === mb && da === db && yNear, w.dobNear)
-        .when(bothDob && ya === yb && ma === mb && (abs(da - db) <= 1 || da === dRevB), w.dobNear)
-        .when(bothDob, w.dobDisagree)
-        .otherwise(0.0)
+    val ptsNamed = Seq(
+      namePts.as("name_pts"), genPts.as("gen_pts"), dobPts.as("dob_pts"),
+      phonePts.as("phone_pts"), emailPts.as("email_pts"), ssnPts.as("ssn_pts"),
+      passportPts.as("passport_pts"), drlicPts.as("drlic_pts"),
+      nidPts.as("nid_pts"), addrPts.as("addr_pts"), genderPts.as("gender_pts"),
+      col("type_block"))
+    val pts = arranged.select((Seq(col("doc_a"), col("doc_b")) ++ ptsNamed): _*)
 
-    // ---- exact identifiers (generic/hot values carry no weight) ----
-    def exact(colName: String, genericFlag: String, agree: Double, disagree: Double): Column =
-      when(a(colName).isNotNull && b(colName).isNotNull,
-        when(a(colName) === b(colName),
-          when(a(genericFlag), 0.0).otherwise(agree)).otherwise(disagree))
-        .otherwise(0.0)
-
-    val phonePts =
-      when(a("phone7").isNotNull && b("phone7").isNotNull &&
-        a("phone7") === b("phone7") && !a("phone_generic"),
-        when(a("phone_digits") === b("phone_digits"), w.phoneFull)
-          .otherwise(w.phoneSuffix))
-        .otherwise(0.0)
-    val emailPts = when(a("email").isNotNull && a("email") === b("email") &&
-      !a("email_generic"), w.email).otherwise(0.0)
-    val ssnPts = exact("ssn", "ssn_generic", w.ssn, w.ssnDisagree)
-    val passportPts = exact("passport", "passport_generic", w.passport, w.passportDisagree)
-    val drlicPts = exact("drlic", "drlic_generic", w.drlic, w.drlicDisagree)
-    val nidPts = exact("national_id", "nid_generic", w.nationalId, w.nationalIdDisagree)
-
-    // ---- address: same house number + ≥1 common street token ----
-    val addrPts =
-      when(a("addr.house").isNotNull && a("addr.house") === b("addr.house") &&
-        size(array_intersect(a("addr.stokens"), b("addr.stokens"))) >= 1 &&
-        !a("addr_generic"), w.addr)
-        .otherwise(0.0)
-
-    val genderPts =
-      when(a("gender").isNotNull && b("gender").isNotNull,
-        when(a("gender") === b("gender"), w.genderAgree).otherwise(w.genderDisagree))
-        .otherwise(0.0)
-
-    // PERSON vs ORGANIZATION never merges
-    val typeBlock = a("record_type").isNotNull && b("record_type").isNotNull &&
-      a("record_type") =!= b("record_type")
-
-    val score = when(typeBlock, lit(-100.0)).otherwise(
-      namePts + genPts + dobPts + phonePts + emailPts + ssnPts + passportPts +
-        drlicPts + nidPts + addrPts + genderPts)
+    val score = when(col("type_block"), lit(-100.0)).otherwise(
+      col("name_pts") + col("gen_pts") + col("dob_pts") + col("phone_pts") +
+        col("email_pts") + col("ssn_pts") + col("passport_pts") +
+        col("drlic_pts") + col("nid_pts") + col("addr_pts") + col("gender_pts"))
 
     def key(pts: Column, name: String): Column =
       when(pts > 0, s"+$name").when(pts < 0, s"-$name").otherwise("")
 
     val matchKey = concat(
-      key(namePts, "NAME"), key(dobPts, "DOB"), key(addrPts, "ADDRESS"),
-      key(phonePts, "PHONE"), key(emailPts, "EMAIL"), key(ssnPts, "SSN"),
-      key(passportPts, "PASSPORT"), key(drlicPts, "DRLIC"),
-      key(nidPts, "NATIONAL_ID"), key(genderPts, "GENDER"),
-      key(genPts, "GENERATION"))
+      key(col("name_pts"), "NAME"), key(col("dob_pts"), "DOB"),
+      key(col("addr_pts"), "ADDRESS"), key(col("phone_pts"), "PHONE"),
+      key(col("email_pts"), "EMAIL"), key(col("ssn_pts"), "SSN"),
+      key(col("passport_pts"), "PASSPORT"), key(col("drlic_pts"), "DRLIC"),
+      key(col("nid_pts"), "NATIONAL_ID"), key(col("gender_pts"), "GENDER"),
+      key(col("gen_pts"), "GENERATION"))
 
+    val scored = pts.withColumn("score", score)
     val level =
-      when(score >= w.thetaResolve, "RESOLVED")
-        .when(score >= w.thetaPossible, "POSSIBLY_SAME")
-        .when(emailPts > 0 || phonePts > 0 || addrPts > 0 || ssnPts > 0 ||
-          passportPts > 0 || drlicPts > 0 || nidPts > 0, "POSSIBLY_RELATED")
+      when(col("score") >= w.thetaResolve, "RESOLVED")
+        .when(col("score") >= w.thetaPossible, "POSSIBLY_SAME")
+        .when(col("email_pts") > 0 || col("phone_pts") > 0 || col("addr_pts") > 0 ||
+          col("ssn_pts") > 0 || col("passport_pts") > 0 || col("drlic_pts") > 0 ||
+          col("nid_pts") > 0, "POSSIBLY_RELATED")
 
-    joined.select(
+    scored.select(
       col("doc_a"), col("doc_b"),
-      score.as("score"),
+      col("score"),
       matchKey.as("match_key"),
       level.as("level"))
       .filter(col("level").isNotNull)

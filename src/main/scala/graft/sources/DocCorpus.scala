@@ -119,6 +119,15 @@ object DocCorpus {
     "Lake St", "Hill Rd", "Park Ave")
   private val Cities = Seq("Las Vegas NV", "Henderson NV", "Reno NV",
     "Phoenix AZ", "Tucson AZ", "Denver CO", "Boulder CO", "Austin TX")
+  // consonant-diverse syllables -> 40^3 = 64k surnames whose soundex
+  // codes spread realistically (a surname list built by concatenating a
+  // few dozen real names collapses to ~40 soundex codes and produces
+  // pathological phonetic blocks)
+  private val Syllables = Seq(
+    "bar", "con", "dav", "fel", "gor", "har", "jen", "kel", "lom", "mar",
+    "nor", "pat", "quin", "ros", "sut", "tor", "van", "wil", "yor", "zim",
+    "ash", "bel", "cro", "dun", "ell", "fin", "gra", "hol", "ing", "jor",
+    "kin", "lan", "mor", "nel", "ort", "pre", "ric", "sha", "thor", "ude")
 
   /** Deterministic synthetic interleaved-doc corpus.
     *
@@ -152,12 +161,20 @@ object DocCorpus {
           if (variant >= nDocs) Iterator.empty
           else {
             val first = fn(((h >>> 8) % fn.size).toInt.abs)
-            val last = ln(((h >>> 16) % ln.size).toInt.abs)
+            val syl = Syllables
+            val last0 = syl(((h >>> 16) % syl.size).toInt.abs) +
+              syl(((h >>> 22) % syl.size).toInt.abs) +
+              syl(((h >>> 28) % syl.size).toInt.abs)
+            val last = last0.capitalize
             val stIdx = ((h >>> 24) % st.size).toInt.abs
             val ciIdx = ((h >>> 32) % ci.size).toInt.abs
-            val houseNo = 100 + ((h >>> 40) & 0x3fff).toInt
-            val phone = f"702-${100 + ((h >>> 12) & 0x383).toInt}%03d-${(h >>> 20).abs % 10000}%04d"
-            val email = s"${first.toLowerCase.charAt(0)}${last.toLowerCase}${ent % 97}@example.com"
+            val houseNo = 1 + ((h >>> 40) & 0xffff).toInt
+            val phone = f"${100 + ((h >>> 55) & 0xff).toInt % 900}%03d-${(h >>> 12).abs % 1000}%03d-${(h >>> 20).abs % 10000}%04d"
+            // unique per entity; 2% share an office mailbox (exercises
+            // the generic-value suppression at scale)
+            val email =
+              if (ent % 50 == 0) s"office${(ent / 50) % 100}@corp.example.com"
+              else s"${first.toLowerCase.charAt(0)}${last.toLowerCase.take(8)}$ent@example.com"
             val dobY = 1950 + ((h >>> 4) & 63).toInt % 50
             val dobM = 1 + ((h >>> 10) & 15).toInt % 12
             val dobD = 1 + ((h >>> 14) & 31).toInt % 28

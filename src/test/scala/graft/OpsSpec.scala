@@ -1,0 +1,144 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data operators over the driver-generated documents /
+  * embeddings tables (sf0.001).
+  */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup: groups partition the corpus; canonical is min id") {
+    val d = Dedup.exact(docs)
+    assert(d.count() == docs.count())
+    val bad = d.groupBy("content_hash")
+      .agg(min("doc_id").as("m"), first("canonical_doc_id").as("c"))
+      .filter(col("m") =!= col("c"))
+    assert(bad.count() == 0)
+  }
+
+  test("exact dedup finds planted duplicates") {
+    val planted = docs.limit(3).withColumn("doc_id", col("doc_id") + 1000000)
+    val d = Dedup.exact(docs.unionByName(planted))
+    assert(d.filter(col("group_size") === 2).count() == 6)
+    assert(d.filter(!col("is_canonical")).count() == 3)
+  }
+
+  test("minhash near-dup pairs find a planted near-duplicate") {
+    val nearDup = docs.limit(1)
+      .withColumn("doc_id", col("doc_id") + 2000000)
+      .withColumn("text", concat(col("text"), lit(" extra token")))
+    val pairs = Dedup.minhashNearDupPairs(docs.unionByName(nearDup), threshold = 0.8)
+    val origId = docs.limit(1).select("doc_id").as[Long].head()
+    assert(pairs.filter(col("doc_a") === origId &&
+      col("doc_b") === origId + 2000000).count() == 1)
+  }
+
+  test("simhash: identical text → identical fingerprint; near text → small hamming") {
+    val twoDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely unrelated words about database query optimizers")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.simhash(twoDocs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 16)
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 16)
+  }
+
+  test("ngram jaccard: identical docs in same block score 1.0") {
+    val planted = docs.limit(2).withColumn("doc_id", col("doc_id") + 3000000)
+    val pairs = Dedup.ngramJaccard(docs.unionByName(planted), threshold = 0.99)
+    assert(pairs.filter(col("jaccard") === 1.0).count() >= 2)
+  }
+
+  test("brute-force ANN matches a driver-side exact oracle") {
+    val topk = Similarity.bruteForceTopK(embeddings, Seq(0L), k = 5)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    // independent oracle: collect and compute cosine in plain Scala
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val p = vecs(0L).map(_.toDouble)
+    def cos(v: Seq[Float]): Double = {
+      val d = v.map(_.toDouble)
+      val dot = p.zip(d).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(p.map(x => x * x).sum) * math.sqrt(d.map(x => x * x).sum))
+    }
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (cos(v), id) }
+      .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2)
+    assert(topk == expected)
+  }
+
+  test("LSH ANN: same output shape; bucket-restricted recall > 0 on random vectors") {
+    val probes = 0L until 10L
+    val bf = Similarity.bruteForceTopK(embeddings, probes, k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lshDf = Similarity.lshTopK(embeddings, probes, k = 5, planes = 2)
+    val lsh = lshDf.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // these embeddings are near-random (max cos ≈ 0.45), so hyperplane
+    // buckets split true neighbors aggressively; require non-trivial
+    // overlap rather than high recall
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall > 0.0, s"LSH recall $recall")
+    assert(lshDf.groupBy("probe_id").count().filter(col("count") > 5).count() == 0)
+  }
+
+  test("language id: deterministic markers classify crafted texts; salad → defined label") {
+    val crafted = Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "el perro de la casa que los gatos"),
+      (3L, "le chat et la maison les des est"),
+      (4L, "der hund und die katze das ist"),
+      (5L, "xyzzy plugh frobozz")).toDF("doc_id", "text")
+    val pred = TextAnalysis.langId(crafted)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(pred(1L) == "en" && pred(2L) == "es" && pred(3L) == "fr" && pred(4L) == "de")
+    assert(pred(5L) == "und")
+    // corpus docs: always produce a defined label
+    val labels = TextAnalysis.langId(docs).select("lang_pred").distinct()
+      .as[String].collect().toSet
+    assert(labels.subsetOf(Set("en", "es", "fr", "de", "zh", "und")))
+  }
+
+  test("quality features are bounded and consistent") {
+    val q = TextAnalysis.quality(docs).collect()
+    q.foreach { r =>
+      assert(r.getAs[Double]("punct_ratio") >= 0 && r.getAs[Double]("punct_ratio") <= 1)
+      assert(r.getAs[Double]("stopword_ratio") >= 0 && r.getAs[Double]("stopword_ratio") <= 1)
+      assert(r.getAs[Int]("n_words") >= 0)
+    }
+  }
+
+  test("multimodal: plumbing carries bytes; decode stub is deterministic") {
+    val wm = Multimodal.withSyntheticMedia(docs.limit(50))
+    val meta = Multimodal.mediaMetaColumns(wm).collect()
+    meta.foreach { r =>
+      assert(r.getAs[Int]("media_bytes") > 16)
+      assert(r.getAs[String]("header_hex").length == 8)
+    }
+    val d1 = Multimodal.decodeStub(spark, wm).collect().sortBy(_.doc_id)
+    val d2 = Multimodal.decodeStub(spark, wm).collect().sortBy(_.doc_id)
+    assert(d1.toSeq == d2.toSeq)
+    d1.foreach { m =>
+      assert(m.fake_width >= 64 && m.fake_width < 128)
+      assert(m.media_bytes > 16)
+    }
+    assert(Multimodal.frameSample(wm).count() > 0)
+  }
+
+  test("fingerprints: md5 matches a reference value; winnow is shift-robust-ish") {
+    val one = Seq((1L, "Hello  World")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(one).head()
+    // md5("hello world")
+    assert(fp.getString(1) == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+  }
+}
