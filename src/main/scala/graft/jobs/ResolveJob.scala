@@ -3,9 +3,10 @@ package graft.jobs
 import graft.assemble.Assemble
 import graft.blocking.Blocking
 import graft.cluster.ConnectedComponents
+import graft.io.SnapshotStore
 import graft.normalize.Normalize
 import graft.score.{Generic, Scoring}
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end batch resolve: the Spark-native equivalent of the
@@ -16,9 +17,13 @@ import org.apache.spark.sql.functions._
   *   edges → connected components (iterate, checkpoint) → assignments
   *   → entity assembly
   *
-  * Counter metrics (pairs generated / pairs scored / edges emitted —
-  * the north rule's lineage counters) are collected with
-  * `Dataset.observe` so they cost no extra actions.
+  * Stage boundaries are materialized eagerly — this truncates the
+  * LOGICAL plan (the normalize projection is a ~10^4-node expression
+  * tree; letting downstream stages carry N copies of it costs minutes
+  * of driver CPU in Catalyst transforms) and is the resumability story:
+  * with `snapshotRoot` set, each boundary is an atomic snapshot commit
+  * with per-partition lineage rows, and a restarted run resumes from
+  * the last committed stage.
   */
 object ResolveJob {
 
@@ -27,7 +32,14 @@ object ResolveJob {
       weights: Scoring.Weights = Scoring.Weights(),
       generic: Generic.Config = Generic.Config(),
       checkpointDir: Option[String] = None,
-      numberEntities: Boolean = true)
+      numberEntities: Boolean = true,
+      /** When set, every stage output is committed as an atomic
+        * snapshot (Iceberg semantics, graft.io.SnapshotStore) together
+        * with per-partition lineage rows, and `run` RESUMES from the
+        * last committed stage in that store. When unset, stages are
+        * localCheckpoint'd (fast, in-memory).
+        */
+      snapshotRoot: Option[String] = None)
 
   final case class Result(
       features: DataFrame,
@@ -35,7 +47,8 @@ object ResolveJob {
       assignments: DataFrame,
       entities: DataFrame,
       ccStats: ConnectedComponents.Stats,
-      metrics: Map[String, Long])
+      metrics: Map[String, Long],
+      resumedStages: Seq[String])
 
   def run(spark: SparkSession, docs: DataFrame, cfg: Config = Config()): Result = {
     // Catalyst constraint propagation is O(2^n) over the scoring
@@ -44,55 +57,70 @@ object ResolveJob {
     // pipeline's joins/filters are explicit, so inferred constraints
     // buy nothing here.
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    // Stage boundaries are materialized with eager localCheckpoint (or a
-    // snapshot-table write in production): this truncates the LOGICAL
-    // plan, not just the physical one — the normalize projection is a
-    // ~10^4-node expression tree, and letting downstream stages carry
-    // (and re-optimize) N copies of it costs minutes of driver CPU in
-    // Catalyst transforms. It is also the resumability story: each
-    // boundary is a committed snapshot (north rule).
-    val docsSnap = docs.localCheckpoint(true)
-    val feats = Generic.withGenericFlags(
-      Normalize.features(docsSnap).localCheckpoint(true),
-      cfg.generic).localCheckpoint(true)
 
-    val pairsObs = new Observation("pairs_generated")
-    val edgesObs = new Observation("edges")
+    val store = cfg.snapshotRoot.map(new SnapshotStore(_))
+    val resumed = scala.collection.mutable.ArrayBuffer[String]()
 
-    val blocks = Blocking.blockingKeys(feats, cfg.blocking)
-    val pairs = Blocking.candidatePairs(blocks, cfg.blocking)
-      .observe(pairsObs, count(lit(1)).as("pairs_generated"))
+    /** Materialize a stage: resume from the store when a committed
+      * snapshot exists; otherwise compute, commit (with per-partition
+      * lineage), or localCheckpoint when no store is configured.
+      */
+    def stage(name: String)(build: => DataFrame): DataFrame = store match {
+      case Some(st) if st.exists(name) =>
+        resumed += name
+        st.read(spark, name).localCheckpoint(true)
+      case Some(st) =>
+        val df = build.localCheckpoint(true)
+        st.commit(df, name)
+        val lineage = df
+          .groupBy(spark_partition_id().as("partition_id"))
+          .agg(count(lit(1)).as("rows"))
+          .withColumn("stage", lit(name))
+        st.commit(lineage, s"_lineage_$name")
+        df
+      case None => build.localCheckpoint(true)
+    }
+
+    val docsSnap = stage("docs")(docs)
+    val featsRaw = stage("features_raw")(Normalize.features(docsSnap))
+    val feats = stage("features")(Generic.withGenericFlags(featsRaw, cfg.generic))
+
+    val pairs = stage("pairs") {
+      Blocking.candidatePairs(Blocking.blockingKeys(feats, cfg.blocking), cfg.blocking)
+    }
+
     // Whole-stage codegen is disabled for the scoring action only: the
     // comparator tree fused into the nested broadcast joins re-emits
     // deferred column extractions at every use site (>64 KB method →
     // janino failure → interpreted eval). Per-operator codegen splits
-    // methods fine and compiles. localCheckpoint(true) executes the
-    // stage eagerly inside this conf window.
+    // methods fine and compiles. The stage is materialized eagerly
+    // inside this conf window.
     val nDocs = feats.count()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val edges = try {
-      Scoring.scorePairs(pairs, feats, cfg.weights, broadcastFeatures = nDocs < 3000000)
-        .observe(edgesObs,
-          count(lit(1)).as("pairs_scored"),
-          count(when(col("level") === "RESOLVED", 1)).as("edges_resolved"))
-        .localCheckpoint(true)
+      stage("edges") {
+        Scoring.scorePairs(pairs, feats, cfg.weights, broadcastFeatures = nDocs < 3000000)
+      }
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
 
     val resolved = edges.filter(col("level") === "RESOLVED")
-    val (assignments, stats) = ConnectedComponents.assign(
-      spark, feats.select("doc_id"), resolved, cfg.checkpointDir)
-    val assignP = assignments.localCheckpoint(true)
+    var ccStats = ConnectedComponents.Stats(0, Seq.empty)
+    val assignP = stage("assignments") {
+      val (assignments, stats) = ConnectedComponents.assign(
+        spark, feats.select("doc_id"), resolved, cfg.checkpointDir)
+      ccStats = stats
+      assignments
+    }
 
     val entities = Assemble.entities(feats, docsSnap, assignP, edges, cfg.numberEntities)
 
-    // CC already ran actions over `resolved` (hence `edges`), so the
-    // observations are populated; entity assembly is left lazy.
     val metrics = Map(
-      "pairs_generated" -> pairsObs.get("pairs_generated").asInstanceOf[Long],
-      "pairs_scored" -> edgesObs.get("pairs_scored").asInstanceOf[Long],
-      "edges_resolved" -> edgesObs.get("edges_resolved").asInstanceOf[Long],
-      "cc_iterations" -> stats.iterations.toLong)
+      "docs" -> nDocs,
+      "pairs_generated" -> pairs.count(),
+      "pairs_scored" -> edges.count(),
+      "edges_resolved" -> resolved.count(),
+      "cc_iterations" -> ccStats.iterations.toLong)
 
-    Result(feats, edges, assignP, entities, stats, metrics)
+    Result(feats, edges, assignP, entities, ccStats, metrics, resumed.toSeq)
   }
 }

@@ -99,6 +99,42 @@ class FixtureResolveSpec extends AnyFunSuite {
     assert(deltaEntities.count() == 1)
   }
 
+  test("resume: a restarted run reuses committed stage snapshots") {
+    val root = java.nio.file.Files.createTempDirectory("resumestore").toString
+    val cfg = ResolveJob.Config(snapshotRoot = Some(root))
+    val r1 = ResolveJob.run(spark, docs, cfg)
+    assert(r1.resumedStages.isEmpty)
+    val a1 = r1.assignments.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    // full restart: every stage resumes from its snapshot
+    val r2 = ResolveJob.run(spark, docs, cfg)
+    assert(r2.resumedStages.toSet ==
+      Set("docs", "features_raw", "features", "pairs", "edges", "assignments"))
+    val a2 = r2.assignments.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a1 == a2)
+
+    // partial restart: drop the last two stages → only they recompute
+    def rmTable(t: String): Unit = {
+      val dir = java.nio.file.Paths.get(root, t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    rmTable("edges"); rmTable("assignments")
+    val r3 = ResolveJob.run(spark, docs, cfg)
+    assert(r3.resumedStages.toSet == Set("docs", "features_raw", "features", "pairs"))
+    val a3 = r3.assignments.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a1 == a3)
+
+    // per-partition lineage rows were committed alongside each stage
+    val store = new SnapshotStore(root)
+    val lineage = store.read(spark, "_lineage_edges")
+    assert(lineage.columns.toSet == Set("partition_id", "rows", "stage"))
+    assert(lineage.agg(sum("rows")).head().getLong(0) == r3.edges.count())
+  }
+
   test("resume: committed snapshots re-read byte-identically") {
     val tmp = java.nio.file.Files.createTempDirectory("snapstore2").toString
     val store = new SnapshotStore(tmp)

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the plans the engine produces must be
+  * the plans we would want on a 1000-executor cluster — column-pruned
+  * parquet scans, broadcast joins where a side is small, no cartesian
+  * products, whole-stage codegen on scalar pipelines.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("column pruning reaches the parquet scan (er_normalize)") {
+    val plan = planOf("er_normalize")
+    assert(plan.contains("ReadSchema"))
+    // only the two source columns are read; the untouched c_acctbal
+    // (double) must not appear in the scan schema
+    assert(!plan.contains("c_acctbal"), plan.linesIterator.filter(_.contains("ReadSchema")).mkString)
+  }
+
+  test("filter pushdown reaches the parquet scan (ann probes)") {
+    val plan = planOf("ann_cosine_topk")
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("In(vec_id") || plan.contains("LessThan(vec_id") ||
+        plan.contains("vec_id")), plan.take(2000))
+  }
+
+  test("small probe set is broadcast (ann_cosine_topk)") {
+    assert(planOf("ann_cosine_topk").contains("BroadcastNestedLoopJoin") ||
+      planOf("ann_cosine_topk").contains("BroadcastHashJoin"))
+  }
+
+  test("no cartesian product in any query plan") {
+    SparkEntry.queries.keys.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("whole-stage codegen covers scalar pipelines (ta_quality)") {
+    assert(planOf("ta_quality").contains("WholeStageCodegen"))
+  }
+
+  test("hot-key suppression join is a broadcast anti-join") {
+    import graft.blocking.Blocking
+    import graft.normalize.Normalize
+    import graft.score.Generic
+    import graft.sources.DocCorpus
+    val docs = DocCorpus.synthetic(spark, 500).toDF().localCheckpoint(true)
+    val feats = Generic.withGenericFlags(Normalize.features(docs)).localCheckpoint(true)
+    val plan = Blocking.candidatePairs(Blocking.blockingKeys(feats))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(1500))
+  }
+}
