@@ -158,16 +158,45 @@ object Assemble {
           array().cast("array<struct<RELATED_ENTITY_KEY:string,MATCH_LEVEL_CODE:string,MATCH_KEY:string>>")))
 
     // `entity_key` stays the canonical (string, min-doc-id) id; ENTITY_ID
-    // is the reference-parity dense long (global sort — small-scale
-    // exports only; at 10^12 docs pass numberEntities = false).
+    // is the reference-parity dense ascending long. Numbering is fully
+    // distributed (no single-partition window): range-partition the key
+    // set, row_number within each range, add per-partition offsets.
     val keyed = base.withColumnRenamed("entity_id", "entity_key")
     if (numberEntities) {
-      import org.apache.spark.sql.expressions.Window
-      keyed.withColumn("ENTITY_ID",
-        dense_rank().over(Window.orderBy(col("entity_key"))).cast("long"))
+      // number off the narrow assignment frame (one shuffle over ids),
+      // not the wide assembled rows — the count pass must not recompute
+      // the assembly aggregations
+      val ids = denseIds(
+        assignments.select(col("entity_id").as("entity_key")), "entity_key")
+      keyed.join(ids, "entity_key")
     } else {
       keyed.withColumn("ENTITY_ID", col("entity_key"))
     }
+  }
+
+  /** Dense ascending 1-based long ids over the distinct values of
+    * `keyCol`, without funnelling the data through one partition:
+    * range-repartition on the key, row_number per partition (ranges are
+    * disjoint and ordered), then add the cumulative partition offsets —
+    * the only driver-side state is one count per partition. Equivalent
+    * to `dense_rank().over(Window.orderBy(keyCol))` on distinct keys.
+    */
+  def denseIds(keys: DataFrame, keyCol: String, partitions: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = keys.select(keyCol).distinct()
+      .repartitionByRange(partitions, col(keyCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true) // pin the (sampled) range boundaries
+    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until partitions).scanLeft(0L) {
+      case (acc, pid) => acc + counts.getOrElse(pid, 0L)
+    }
+    val offMap = typedlit((0 until partitions).map(p => p -> offsets(p)).toMap)
+    val w = Window.partitionBy("_pid").orderBy(col(keyCol))
+    ranged.withColumn("ENTITY_ID",
+        row_number().over(w).cast("long") + element_at(offMap, col("_pid")))
+      .drop("_pid")
   }
 
   /** Render entities to the reference's JSONL export shape. */

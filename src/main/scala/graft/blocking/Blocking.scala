@@ -14,12 +14,22 @@ import org.apache.spark.sql.functions._
   * house+street, or surname-soundex+birth-year. Those are exactly the
   * deterministic keys below.
   *
-  * Scale design (SURVEY.md §7.4 #1): blocking keys are Zipfian. Keys
-  * whose block size exceeds `maxBlockSize` would contribute
-  * O(n²/block) candidate pairs; they are detected with a cheap
-  * aggregate and *dropped* (their docs still pair via their other,
-  * more selective keys). The dropped-key count is surfaced so a run
-  * at 100 TB reports what it skipped rather than silently exploding.
+  * Scale design (SURVEY.md §7.4 #1): blocking keys are Zipfian. Three
+  * tiers, detected with one cheap aggregate whose head is broadcast:
+  *
+  *  - cold  (size ≤ maxBlockSize): plain self-equi-join.
+  *  - hot   (maxBlockSize < size ≤ megaCap): ALL pairs are still
+  *    emitted — the self-join is salted one-sided (left side hashed
+  *    into `salts` buckets, right side replicated to every bucket) so
+  *    a hot key's quadratic work is spread over `salts` tasks instead
+  *    of one straggler. No recall loss.
+  *  - mega  (size > megaCap): a key shared by that many docs carries
+  *    ~no resolution signal (it is a generic value, not a match
+  *    hypothesis); membership is down-sampled DETERMINISTICALLY
+  *    (hash-mod on doc_id) to ~megaCap docs before the salted join,
+  *    bounding pairs at ~megaCap²/2 per key. This replaces round-1's
+  *    silent full drop: pairs among retained members survive, and the
+  *    cap is a documented, surfaced policy rather than a recall hole.
   */
 object Blocking {
 
@@ -29,6 +39,8 @@ object Blocking {
     */
   final case class Config(
       maxBlockSize: Int = 64,
+      megaCap: Int = 1024,
+      salts: Int = 16,
       useLsh: Boolean = true,
       lshBands: Int = 6,
       lshRows: Int = 6)
@@ -71,25 +83,67 @@ object Blocking {
       .distinct()
   }
 
-  /** Hot keys (block size > cfg.maxBlockSize). Small by construction →
-    * broadcast for the anti-join in [[candidatePairs]].
+  /** Hot keys with their block sizes (size > cfg.maxBlockSize). The
+    * Zipf head is small by construction → broadcast in
+    * [[candidatePairs]] / [[cappedBlocks]].
     */
   def hotKeys(blocks: DataFrame, cfg: Config): DataFrame =
     blocks.groupBy("bkey").count().filter(col("count") > cfg.maxBlockSize)
 
+  /** Blocks with mega keys (size > cfg.megaCap) deterministically
+    * down-sampled to ~megaCap members (hash-mod of doc_id — stable
+    * across runs and parallelism levels). Hot-but-not-mega keys keep
+    * every member. Used by the incremental path, which joins new-doc
+    * blocks against all blocks rather than self-joining.
+    */
+  def cappedBlocks(blocks: DataFrame, cfg: Config = Config()): DataFrame = {
+    val mega = hotKeys(blocks, cfg).filter(col("count") > cfg.megaCap)
+      .withColumn("keep_mod", ceil(col("count").cast("double") / cfg.megaCap).cast("long"))
+      .select("bkey", "keep_mod")
+    blocks.join(broadcast(mega), Seq("bkey"), "left")
+      .filter(col("keep_mod").isNull ||
+        pmod(xxhash64(col("doc_id")), col("keep_mod")) === 0)
+      .drop("keep_mod")
+  }
+
   /** Candidate pairs: self-equi-join of the block table on bkey with
-    * doc_a < doc_b (each unordered pair exactly once), hot keys
-    * removed via a broadcast anti-join. Returns
-    * (doc_a, doc_b) distinct.
+    * doc_a < doc_b (each unordered pair exactly once). Cold keys join
+    * directly; hot keys go through the salted join (mega keys
+    * down-sampled first) — see the tier design in the object doc.
+    * Returns (doc_a, doc_b) distinct.
     */
   def candidatePairs(blocks: DataFrame, cfg: Config = Config()): DataFrame = {
-    val hot = hotKeys(blocks, cfg).select("bkey")
+    val hot = hotKeys(blocks, cfg)
+      .withColumn("keep_mod",
+        when(col("count") > cfg.megaCap,
+          ceil(col("count").cast("double") / cfg.megaCap).cast("long")))
+      .select("bkey", "keep_mod")
+
     val cold = blocks.join(broadcast(hot), Seq("bkey"), "left_anti")
     val l = cold.select(col("bkey"), col("doc_id").as("doc_a"))
     val r = cold.select(col("bkey"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("bkey"))
+    val coldPairs = l.join(r, Seq("bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .distinct()
+
+    // hot tier: mega keys down-sampled, then a one-sided salted
+    // self-join — left row lands in ONE salt bucket, right row is
+    // replicated to ALL buckets, so every pair appears exactly once
+    // while the per-key work is spread over `salts` tasks.
+    val hotBlocks = blocks.join(broadcast(hot), Seq("bkey"))
+      .filter(col("keep_mod").isNull ||
+        pmod(xxhash64(col("doc_id")), col("keep_mod")) === 0)
+      .select("bkey", "doc_id")
+    val hl = hotBlocks.select(col("bkey"),
+      pmod(xxhash64(col("doc_id")), lit(cfg.salts.toLong)).as("salt"),
+      col("doc_id").as("doc_a"))
+    val hr = hotBlocks.select(col("bkey"),
+      explode(typedlit((0L until cfg.salts.toLong).toArray)).as("salt"),
+      col("doc_id").as("doc_b"))
+    val hotPairs = hl.join(hr, Seq("bkey", "salt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+
+    coldPairs.unionAll(hotPairs).distinct()
   }
 }

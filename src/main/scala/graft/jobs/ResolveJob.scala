@@ -50,14 +50,19 @@ object ResolveJob {
       metrics: Map[String, Long],
       resumedStages: Seq[String])
 
-  def run(spark: SparkSession, docs: DataFrame, cfg: Config = Config()): Result = {
+  def run(spark: SparkSession, docs: DataFrame, cfg: Config = Config()): Result =
     // Catalyst constraint propagation is O(2^n) over the scoring
     // case-when trees and dominates driver time when stage outputs are
     // checkpointed (LogicalRDD.rewriteStatsAndConstraints). The
     // pipeline's joins/filters are explicit, so inferred constraints
-    // buy nothing here.
-    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    // buy nothing here. Scoped: the caller's setting is restored on exit
+    // (every stage inside is materialized eagerly, so nothing escapes).
+    graft.util.Confs.withConfs(spark)(
+      "spark.sql.constraintPropagation.enabled" -> "false") {
+      runInner(spark, docs, cfg)
+    }
 
+  private def runInner(spark: SparkSession, docs: DataFrame, cfg: Config): Result = {
     val store = cfg.snapshotRoot.map(new SnapshotStore(_))
     val resumed = scala.collection.mutable.ArrayBuffer[String]()
 
@@ -96,12 +101,12 @@ object ResolveJob {
     // methods fine and compiles. The stage is materialized eagerly
     // inside this conf window.
     val nDocs = feats.count()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    val edges = try {
+    val edges = graft.util.Confs.withConfs(spark)(
+      "spark.sql.codegen.wholeStage" -> "false") {
       stage("edges") {
         Scoring.scorePairs(pairs, feats, cfg.weights, broadcastFeatures = nDocs < 3000000)
       }
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
 
     val resolved = edges.filter(col("level") === "RESOLVED")
     var ccStats = ConnectedComponents.Stats(0, Seq.empty)

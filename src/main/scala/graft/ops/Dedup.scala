@@ -26,14 +26,20 @@ object Dedup {
         col("group_size"), (col("doc_id") === col("canonical_doc_id")).as("is_canonical"))
   }
 
-  /** Word n-gram shingle set of `text` (distinct, order-free). */
+  /** Word n-gram shingle set of `text` (distinct, order-free). Docs
+    * with fewer than `n` tokens yield an empty set — guarded with a
+    * `when`, because `sequence(a, b)` auto-steps DOWNWARD when b < a
+    * (round 1 fed the resulting 0 index into `slice`, which Spark
+    * rejects at runtime for any short doc).
+    */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = filter(split(trim(text), "\\s+"), t => t =!= "")
     if (n == 1) array_distinct(toks)
     else {
-      val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
-      array_distinct(transform(idx, i =>
-        array_join(slice(toks, i + 1, lit(n)), " ")))
+      val shingled = transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))
+      array_distinct(
+        when(size(toks) >= n, shingled).otherwise(array().cast("array<string>")))
     }
   }
 

@@ -37,15 +37,17 @@ object Similarity {
   }
 
   /** Random-hyperplane sign bucket: `planes` pseudo-random hyperplanes
-    * derived deterministically from the dimension index (split-mix of
-    * (plane, dim) via xxhash64 of the pair) — sign of Σ h(p,i)·vᵢ.
+    * derived deterministically from (table seed, plane, dim) via
+    * xxhash64 — sign of Σ h(p,i)·vᵢ. Distinct `seed`s give independent
+    * tables for multi-table LSH (union of tables recovers pairs a
+    * single table loses to a sign flip on a near-zero projection).
     */
-  def hyperplaneBucket(embedding: Column, planes: Int): Column = {
+  def hyperplaneBucket(embedding: Column, planes: Int, seed: Int = 0): Column = {
     val dims = sequence(lit(0), size(embedding) - 1)
     val bits = (0 until planes).map { p =>
       val s = aggregate(dims, lit(0.0), (acc, i) =>
         acc + element_at(embedding, i + 1).cast("double") *
-          (pmod(xxhash64(lit(p), i), lit(1000)).cast("double") / 500.0 - 1.0))
+          (pmod(xxhash64(lit(seed.toLong * 1009L + p), i), lit(1000)).cast("double") / 500.0 - 1.0))
       when(s >= 0, 1L << p).otherwise(0L)
     }
     bits.reduce(_ + _)

@@ -19,21 +19,29 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "zh" -> Seq("的", "是", "在", "了", "我"))
 
-  private def tokenArr(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+  /** Whitespace-token count as a single regex scan. Equivalent to
+    * `size(filter(split(text, "\\s+"), _ =!= ""))` but codegen-friendly:
+    * higher-order array functions (`ArrayFilter` etc.) are
+    * CodegenFallback in Spark, and ONE of them in a projection ejects
+    * the whole Project from whole-stage codegen (round-1 PlanSpec
+    * failure). `regexp_count` compiles.
+    */
+  private def wsTokenCount(text: Column): Column =
+    regexp_count(text, lit("[^\\s]+"))
 
-  /** Count of `word` occurrences as a whole token. */
-  private def tokenCount(toks: Column, word: String): Column =
-    size(filter(toks, t => t === lit(word)))
+  /** Count of whole whitespace-delimited tokens equal to one of
+    * `words`: lookarounds pin both token edges, so `des` is not counted
+    * as a hit for `de`. One codegen'd regex scan for the entire set.
+    */
+  private def tokenCountIn(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit(s"(?<![^\\s])(${words.mkString("|")})(?![^\\s])"))
 
   /** N-gram-heuristic language ID: argmax of marker-token hits, with a
     * deterministic tiebreak on language code; 'und' when no marker hits.
     */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokenArr(col(textCol))
     val scores = Markers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(words.map(w => tokenCount(toks, w)).reduce(_ + _).as("hits"),
-        lit(lang).as("lang"))
+      struct(tokenCountIn(col(textCol), words).as("hits"), lit(lang).as("lang"))
     }
     // max_by over (hits, reversed-lang) — ties break to the smaller code
     val best = scores.reduce { (x, y) =>
@@ -50,12 +58,10 @@ object TextAnalysis {
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
-    val toks = tokenArr(t)
-    val nWords = size(toks)
+    val nWords = wsTokenCount(t)
     val nPunct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
     val nDigit = nChars - length(regexp_replace(t, "[0-9]", ""))
-    val stopHits = Markers.values.flatten.toSeq.distinct.sorted
-      .map(w => tokenCount(toks, w)).reduce(_ + _)
+    val stopHits = tokenCountIn(t, Markers.values.flatten.toSeq.distinct.sorted)
     docs.select(
       col("doc_id"),
       nChars.as("n_chars_q"),
@@ -72,9 +78,9 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(
       col("doc_id"),
-      size(tokenArr(col(textCol))).as("ws_tokens"),
-      size(regexp_extract_all(col(textCol),
-        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"))
+      wsTokenCount(col(textCol)).as("ws_tokens"),
+      regexp_count(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_ish_tokens"))
 
   /** Content fingerprints: md5 of normalized text (engine-portable) and
     * a winnowing-style rolling min-hash (codegen'd kernel).

@@ -40,8 +40,12 @@ object Generic {
   /** Augment the feature table with boolean `*_generic` flags.
     *
     * One exploded aggregate computes every family's hot set in a single
-    * scan of the feature table (vs one scan per family); the tiny hot
-    * table is persisted and broadcast back per family.
+    * scan of the feature table (vs one scan per family). The hot sets
+    * are Zipf HEADS by design (values shared by ≥threshold docs) — tiny
+    * relative to the corpus — so they are collected once to the driver
+    * and inlined as literal set-membership predicates: one codegen'd
+    * Project, no per-family broadcast joins, and no persisted RDD left
+    * behind (round-1 leaked one cached frame per streaming micro-batch).
     */
   def withGenericFlags(features: DataFrame, cfg: Config = Config()): DataFrame = {
     val exploded = features.select(explode(array(valueCols.map {
@@ -53,16 +57,16 @@ object Generic {
     val thresholdOf = typedlit(valueCols.map { case (f, _, isAddr) =>
       f -> (if (isAddr) cfg.addrThreshold else cfg.threshold)
     }.toMap)
-    val hot = exploded.groupBy("fam", "v").count()
+    val hot: Map[String, Array[String]] = exploded.groupBy("fam", "v").count()
       .filter(col("count") >= element_at(thresholdOf, col("fam")))
       .select("fam", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    valueCols.foldLeft(features) { case (df, (flagName, valueCol, _)) =>
-      val hotFam = hot.filter(col("fam") === flagName)
-        .select(col("v").as(s"_hot_$flagName"))
-      df.join(broadcast(hotFam), valueCol === col(s"_hot_$flagName"), "left")
-        .withColumn(flagName, col(s"_hot_$flagName").isNotNull)
-        .drop(s"_hot_$flagName")
-    }
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1))).toMap
+    features.select(col("*") +: valueCols.map { case (flagName, valueCol, _) =>
+      val hotVals = hot.getOrElse(flagName, Array.empty[String])
+      (if (hotVals.isEmpty) lit(false)
+       else valueCol.isin(hotVals.toSeq: _*) <=> lit(true)).as(flagName)
+    }: _*)
   }
 }

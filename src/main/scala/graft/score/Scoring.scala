@@ -9,17 +9,22 @@ import org.apache.spark.sql.functions._
   * columns (whole-stage codegen end to end; the only non-built-in
   * kernels are the codegen'd name-similarity expressions).
   *
-  * Physical shape (matters at 10^12 pairs):
-  *   stage 1 — joins the candidate pairs to the feature table twice
-  *   (broadcast when the feature side is small, SMJ otherwise) and
-  *   reduces every comparator to a NARROW scalar (two name sims +
-  *   boolean/int agreement codes, ~60 bytes/row);
-  *   stage 2 — separated by a repartition barrier, folds the scalars
-  *   into points, score, MATCH_KEY, and level.
-  * The barrier is deliberate: fused join+project stages cannot split
-  * oversized generated methods, so the full scoring tree in one stage
-  * exceeds janino's 64 KB limit and silently falls back to interpreted
-  * eval (~50× slower). Two compiled stages + a narrow shuffle win.
+  * Physical shape (matters at 10^12 pairs): the plan joins the
+  * candidate pairs to the feature table twice (broadcast when the
+  * feature side is small, SMJ otherwise), reduces every comparator to
+  * a NARROW scalar (two name sims + boolean/int agreement codes,
+  * ~60 bytes/row), then folds the scalars into points, score,
+  * MATCH_KEY, and level.
+  *
+  * Codegen caveat: when this whole tree fuses into one whole-stage-
+  * codegen stage with the joins, the generated method cannot be split
+  * (no INPUT_ROW inside join output) and exceeds janino's 64 KB limit →
+  * silent interpreted fallback, ~50× slower. A repartition barrier does
+  * NOT fix it (the optimizer pushes the projection back below the
+  * exchange). Callers must materialize the result under
+  * `spark.sql.codegen.wholeStage=false` — scoped via
+  * [[graft.util.Confs.withConfs]] as ResolveJob/IncrementalResolve do —
+  * which keeps per-operator codegen (that splits fine) and compiles.
   *
   * Weights/thresholds are calibrated against the reference's golden
   * clustering (/root/reference/test/fixtures/flow-output.jsonl):
@@ -90,13 +95,12 @@ object Scoring {
     // at 10^12 docs the SMJ (or a bucketed co-located join) is the path.
     val f0 = features.select(scoringColumns.map(col): _*)
     val f = if (broadcastFeatures) broadcast(f0) else f0
-    // Stage 1 is ONLY the fan-out join + a plain column passthrough,
-    // closed by a repartition barrier. Fusing the comparator projection
-    // into the nested broadcast joins makes codegen re-extract the
-    // build-side columns inside every conditional branch (observed:
-    // 25k-line stage, janino 64 KB failure, interpreted fallback).
-    // After the barrier the comparators run on row input, where
-    // generated methods can split.
+    // Fan-out join + a plain column passthrough, then comparators.
+    // Fusing the comparator projection into the nested broadcast joins
+    // makes codegen re-extract the build-side columns inside every
+    // conditional branch (observed: 25k-line stage, janino 64 KB
+    // failure, interpreted fallback) — see the object doc for the
+    // required caller-side codegen conf.
     val joined = pairs
       .join(f.as("a"), col("doc_a") === a("doc_id"))
       .join(f.as("b"), col("doc_b") === b("doc_id"))

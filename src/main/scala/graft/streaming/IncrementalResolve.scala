@@ -36,33 +36,59 @@ object IncrementalResolve {
       spark: SparkSession,
       store: SnapshotStore,
       batch: DataFrame,
-      cfg: ResolveJob.Config = ResolveJob.Config()): BatchResult = {
-    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+      cfg: ResolveJob.Config = ResolveJob.Config()): BatchResult =
+    graft.util.Confs.withConfs(spark)(
+      "spark.sql.constraintPropagation.enabled" -> "false") {
+      processBatchInner(spark, store, batch, cfg)
+    }
 
+  private def processBatchInner(
+      spark: SparkSession,
+      store: SnapshotStore,
+      batch: DataFrame,
+      cfg: ResolveJob.Config): BatchResult = {
+
+    // At-least-once redelivery vs genuine UPSERT: the reference's
+    // add_record replaces an existing record (consumer.py:188 delegates
+    // upsert semantics to Senzing). A redelivered doc_id with IDENTICAL
+    // span content is a no-op; one with CHANGED content replaces the old
+    // doc — its stale edges are invalidated below and it re-pairs like a
+    // new doc.
     val newDocs0 = batch.select("doc_id", "spans").dropDuplicates("doc_id")
+    def contentHash(df: DataFrame): DataFrame =
+      df.withColumn("_h", xxhash64(to_json(col("spans"))))
     val (allDocs, newDocs) = if (store.exists("docs")) {
       val prev = store.read(spark, "docs")
-      val genuinelyNew = newDocs0.join(prev, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      (prev.unionByName(genuinelyNew), genuinelyNew)
-    } else (newDocs0, newDocs0)
+      val incoming = contentHash(newDocs0).join(
+        contentHash(prev).select(col("doc_id"), col("_h").as("_h_prev")),
+        Seq("doc_id"), "left")
+      val touched = incoming
+        .filter(col("_h_prev").isNull || col("_h") =!= col("_h_prev"))
+        .select("doc_id", "spans").localCheckpoint(true)
+      val kept = prev.join(touched.select("doc_id"), Seq("doc_id"), "left_anti")
+      (kept.unionByName(touched), touched)
+    } else (newDocs0, newDocs0.localCheckpoint(true))
     val docsSnap = allDocs.localCheckpoint(true)
     store.commit(docsSnap, "docs")
 
-    // features over the full corpus (generic thresholds are corpus-wide)
+    // features over the full corpus (generic thresholds are corpus-wide;
+    // tradeoff: carried-over old↔old edges are NOT rescored when the
+    // growing corpus flips a value's generic flag — incremental results
+    // can drift from a from-scratch batch until the next full resolve.
+    // The reference has the same property: Senzing scores a pair once,
+    // at ingest time.)
     val feats = Generic.withGenericFlags(
       Normalize.features(docsSnap).localCheckpoint(true), cfg.generic)
       .localCheckpoint(true)
 
-    // candidate pairs restricted to those touching a new doc
-    val blocksAll = Blocking.blockingKeys(feats, cfg.blocking)
+    // candidate pairs restricted to those touching a new/changed doc;
+    // mega-hot keys are down-sampled (never dropped) on the ALL side
+    val blocksAll = Blocking.cappedBlocks(
+      Blocking.blockingKeys(feats, cfg.blocking), cfg.blocking)
     val newIds = newDocs.select(col("doc_id")).localCheckpoint(true)
     val blocksNew = blocksAll.join(newIds, "doc_id")
-    val hot = Blocking.hotKeys(blocksAll, cfg.blocking).select("bkey")
-    val l = blocksAll.join(broadcast(hot), Seq("bkey"), "left_anti")
-      .select(col("bkey"), col("doc_id").as("doc_a"))
-    val r = blocksNew.join(broadcast(hot), Seq("bkey"), "left_anti")
-      .select(col("bkey"), col("doc_id").as("doc_b"))
+    val l = blocksAll.select(col("bkey"), col("doc_id").as("doc_a"))
+    val r = blocksNew.select(col("bkey"), col("doc_id").as("doc_b"))
     val touchingPairs = l.join(r, Seq("bkey"))
       .filter(col("doc_a") =!= col("doc_b"))
       .select(
@@ -71,14 +97,17 @@ object IncrementalResolve {
       .distinct()
       .localCheckpoint(true)
 
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    val newEdges = try {
+    val newEdges = graft.util.Confs.withConfs(spark)(
+      "spark.sql.codegen.wholeStage" -> "false") {
       Scoring.scorePairs(touchingPairs, feats, cfg.weights).localCheckpoint(true)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
 
     val edges = if (store.exists("edges")) {
-      // old↔old edges are still valid; new scores win on overlap
+      // old↔old edges not touching a changed doc stay valid; every edge
+      // incident to a changed/new doc is invalidated and re-scored
       val prev = store.read(spark, "edges")
+        .join(newIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+        .join(newIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
       prev.join(newEdges.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
         .unionByName(newEdges)
     } else newEdges

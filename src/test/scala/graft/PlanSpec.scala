@@ -42,7 +42,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("whole-stage codegen covers scalar pipelines (ta_quality)") {
-    assert(planOf("ta_quality").contains("WholeStageCodegen"))
+    // WholeStageCodegenExec renders as a "*(n)" prefix in plan strings;
+    // the scalar projection must carry it (higher-order array functions
+    // are CodegenFallback and would eject the whole Project)
+    val plan = planOf("ta_quality")
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan.take(1500))
+  }
+
+  test("flagship assembly has no single-partition exchange (entity numbering is distributed)") {
+    import graft.jobs.ResolveJob
+    import graft.sources.DocCorpus
+    val docs = DocCorpus.synthetic(spark, 100).toDF()
+    val result = ResolveJob.run(spark, docs) // default cfg numbers entities
+    val plan = result.entities.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      plan.linesIterator.filter(_.contains("SinglePartition")).mkString("\n"))
   }
 
   test("hot-key suppression join is a broadcast anti-join") {
