@@ -91,6 +91,28 @@ object SparkEntry {
       SELECT u AS doc_id, min(v) AS entity_id FROM reach GROUP BY u
     )"""
 
+  /** The synthetic embeddings table has no natural near-duplicates
+    * (max off-diagonal cosine ≈ 0.51 at every sf), so the near-dup
+    * query plants them: every vector is copied (vec_id + 10^6) with a
+    * tiny index-dependent perturbation of exact thousandths —
+    * double arithmetic on exact inputs, so the DuckDB oracle
+    * reproduces the quantized cosines bit-exactly. Planted pairs land
+    * ≈0.999 cosine; natural pairs stay below 0.52.
+    */
+  private def plantedEmbeddings(e: DataFrame): DataFrame = {
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    // Spark lambda index is 0-based, DuckDB's is 1-based → use i+1 here
+    val perturbed = transform(col("embedding"), (x, i) =>
+      x.cast("double") +
+        (pmod(col("vec_id") * 31 + (i + lit(1)), lit(11)) - 5) / lit(1000.0))
+    // NB: perturbation and id-shift in SEPARATE selects — in one select,
+    // lateral-column-alias resolution rebinds the lambda's vec_id to the
+    // shifted alias and the perturbation silently keys off the new id
+    e.select(col("vec_id"), asDouble.as("embedding"))
+      .unionAll(e.select(col("vec_id"), perturbed.as("embedding"))
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- P: projection / normalization (SURVEY §2.2) ---
     "er_normalize" -> ((s, dir) => {
@@ -226,9 +248,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.minhashNearDupPairs(t(dir, "documents"), threshold = 0.5)
     }),
-    "dd_embed_near" -> ((s, dir) => { // LSH buckets — rows-only
+    "dd_simhash_pairs" -> ((s, dir) => { // custom kernel — rows-only
       implicit val sp: SparkSession = s
-      Dedup.embeddingNearDupPairs(t(dir, "embeddings"), planes = 6, threshold = 0.8)
+      Dedup.simhashNearDupPairs(t(dir, "documents"), maxHamming = 8)
+    }),
+    "dd_embed_near" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.embeddingNearDupPairs(plantedEmbeddings(t(dir, "embeddings")),
+        tables = 6, planes = 8, threshold = 0.95, quantized = true)
     }),
     "ann_cosine_topk" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -383,6 +410,25 @@ object SparkEntry {
            ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
              len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
+    "dd_embed_near" ->
+      """WITH base AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+             list_transform(embedding, (x, i) ->
+               CAST(x AS DOUBLE) + (((vec_id*31 + i) % 11) - 5)/1000.0)
+           FROM embeddings
+         ), q AS (
+           SELECT vec_id, list_transform(v, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+           FROM base
+         ), p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) /
+               (sqrt(CAST(list_dot_product(a.qv, a.qv) AS DOUBLE)) *
+                sqrt(CAST(list_dot_product(b.qv, b.qv) AS DOUBLE))) AS cosine
+           FROM q a JOIN q b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95""",
     "ann_cosine_topk" ->
       """WITH e AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v

@@ -43,9 +43,20 @@ object Dedup {
     }
   }
 
-  /** Pairwise word-shingle Jaccard within (lang, length-bucket) blocks;
-    * emits pairs with jaccard ≥ threshold. The block bound keeps the
-    * candidate join quadratic only within a block.
+  /** Exact pairwise word-shingle Jaccard ≥ threshold within
+    * (lang, length-bucket) blocks.
+    *
+    * Candidate generation is PREFIX FILTERING (AllPairs / PPJoin,
+    * Bayardo et al. WWW'07; Xiao et al. WWW'08), not the round-1
+    * quadratic block self-join: order every shingle set by global
+    * rarity (document frequency, then token), keep each doc's first
+    * |S| − ⌈t·|S|⌉ + 1 shingles, and join docs sharing a PREFIX
+    * shingle within a block. The prefix lemma guarantees every pair
+    * with J ≥ t shares a prefix token, so the result is EXACTLY the
+    * all-pairs answer (the DuckDB oracle is unchanged) while the join
+    * fans out only on rare tokens. A length filter (t·|A| ≤ |B|)
+    * prunes further. Verification re-joins the shingle sets by id —
+    * ids, not texts, move through the candidate shuffle.
     */
   def ngramJaccard(
       docs: DataFrame,
@@ -56,12 +67,35 @@ object Dedup {
       col("doc_id"), col("lang"),
       (col("n_chars") / lengthBucket).cast("int").as("len_bucket"),
       wordShingles(col("text"), n).as("shingles"))
-    val l = withSets.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val r = withSets.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    l.join(r, Seq("lang", "len_bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+
+    val toks = withSets.select(col("doc_id"), col("lang"), col("len_bucket"),
+      size(col("shingles")).as("sz"), explode(col("shingles")).as("t"))
+    val dfreq = toks.groupBy("t").agg(count(lit(1)).as("df"))
+    // prefix = rarest (|S| − ⌈t·|S|⌉ + 1) shingles; the ε guards the
+    // exact-integer boundary of t·|S| in the safe (longer) direction
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .cast("int")
+    val prefixes = toks.join(dfreq, "t")
+      .groupBy("doc_id", "lang", "len_bucket", "sz")
+      .agg(slice(array_sort(collect_list(struct(col("df"), col("t")))),
+        lit(1), prefixLen).as("prefix"))
+      .select(col("doc_id"), col("lang"), col("len_bucket"), col("sz"),
+        explode(col("prefix.t")).as("t"))
+
+    val l = prefixes.select(col("lang"), col("len_bucket"), col("t"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val r = prefixes.select(col("lang"), col("len_bucket"), col("t"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val cand = l.join(r, Seq("lang", "len_bucket", "t"))
+      .filter(col("doc_a") < col("doc_b") &&
+        lit(threshold) * col("sz_a") <= col("sz_b") &&
+        lit(threshold) * col("sz_b") <= col("sz_a"))
+      .select("doc_a", "doc_b").distinct()
+
+    val sets = withSets.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -80,19 +114,24 @@ object Dedup {
       bands: Int = 8,
       rows: Int = 4,
       threshold: Double = 0.7): DataFrame = {
-    val keyed = docs.select(col("doc_id"), col("text"),
+    // ids ONLY through the band shuffle — round 1 carried both full
+    // document texts ×bands×2 sides and ran distinct() over them; at
+    // 100 TB that shuffles the corpus 16×. Texts re-join exactly once,
+    // after the candidate pair set is deduplicated.
+    val keyed = docs.select(col("doc_id"),
       explode(GraftFunctions.minhash_band_keys(
         lower(col("text")), shingleChars, bands, rows)).as("band"))
-    val l = keyed.select(col("band"), col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val r = keyed.select(col("band"), col("doc_id").as("doc_b"), col("text").as("text_b"))
-    val cand = l.join(r, Seq("band"))
+    val cand = keyed.select(col("band"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "text_a", "text_b").distinct()
-    val shA = wordShingles(col("text_a"), 1)
-    val shB = wordShingles(col("text_b"), 1)
-    cand.select(col("doc_a"), col("doc_b"),
-      (size(array_intersect(shA, shB)).cast("double") /
-        size(array_union(shA, shB))).as("jaccard"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = docs.select(col("doc_id"), wordShingles(col("text"), 1).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -124,22 +163,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding cosine near-dup candidate pairs within coarse LSH
-    * buckets (random-hyperplane signs from deterministic seeded
-    * pseudo-vectors): emits pairs with cosine ≥ threshold.
+  /** Embedding cosine near-dup pairs via MULTI-TABLE random-hyperplane
+    * LSH: `tables` independent sign-bucket tables (distinct hash
+    * seeds); a pair is a candidate when it shares a bucket in ANY
+    * table, which recovers pairs a single table loses to one sign flip
+    * on a near-zero projection (round 1 used one 6-plane table: 64
+    * buckets total — quadratic at scale AND zero verified rows).
+    * Candidates move as ids only; embeddings re-join once for the
+    * cosine verify. `quantized` uses integer-quantized cosine for
+    * cross-engine oracle parity.
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame,
+      tables: Int = 6,
       planes: Int = 8,
-      threshold: Double = 0.95): DataFrame = {
-    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
-      Similarity.hyperplaneBucket(col("embedding"), planes).as("bucket"))
-    val l = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val r = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    l.join(r, Seq("bucket"))
+      threshold: Double = 0.95,
+      quantized: Boolean = false): DataFrame = {
+    val bucketed = embeddings.select(col("vec_id"),
+      explode(array((0 until tables).map(tb =>
+        struct(lit(tb).as("tbl"),
+          Similarity.hyperplaneBucket(col("embedding"), planes, seed = tb)
+            .as("bucket"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val cand = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+      .join(bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("e_a"), col("e_b")).as("cosine"))
+      .select("id_a", "id_b").distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val cos =
+      if (quantized) Similarity.cosineQuantized(col("e_a"), col("e_b"))
+      else Similarity.cosine(col("e_a"), col("e_b"))
+    cand
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

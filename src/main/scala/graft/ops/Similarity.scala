@@ -81,18 +81,33 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: probes only scan vectors sharing
-    * their hyperplane bucket. Same output shape as bruteForceTopK.
+    * a hyperplane bucket in ANY of `tables` independent tables (union
+    * of tables trades a bounded constant of extra candidates for much
+    * better recall than one table). Candidate generation moves ids
+    * only; vectors re-join once for scoring. Same output shape as
+    * bruteForceTopK.
     */
-  def lshTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int, planes: Int = 6): DataFrame = {
-    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
-      hyperplaneBucket(col("embedding"), planes).as("bucket"))
-    val probes = bucketed
-      .filter(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"), col("bucket"))
-    val joined = bucketed.join(broadcast(probes), Seq("bucket"))
+  def lshTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
+      planes: Int = 6, tables: Int = 4): DataFrame = {
+    val bucketed = embeddings.select(col("vec_id"),
+      explode(array((0 until tables).map(tb =>
+        struct(lit(tb).as("tbl"),
+          hyperplaneBucket(col("embedding"), planes, seed = tb).as("bucket"))): _*))
+        .as("b"))
+      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+    val probeBuckets = bucketed.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("tbl"), col("bucket"))
+    val cand = bucketed.join(broadcast(probeBuckets), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-    val scored = joined.select(col("probe_id"), col("vec_id").as("neighbor_id"),
-      cosine(col("probe_vec"), col("embedding")).as("cosine"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id")).distinct()
+    val probeVecs = embeddings.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val scored = cand
+      .join(broadcast(probeVecs), "probe_id")
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nbr_vec")), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("probe_vec"), col("nbr_vec")).as("cosine"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
