@@ -1,6 +1,7 @@
 package graft.assemble
 
 import graft.normalize.Normalize.spanText
+import graft.score.ErRule
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -10,19 +11,33 @@ import org.apache.spark.sql.functions._
   * {ENTITY_ID, ENTITY_NAME, FEATURES, RECORD_SUMMARY, RECORDS} +
   * RELATED_ENTITIES).
   *
+  * FEATURES reproduces Senzing's nesting: per feature type, VARIANT
+  * GROUPS keyed by a normalized value (nickname-canonical name,
+  * house+street, year+day-set DOB, phone suffix, …) and usage type;
+  * each group carries a representative FEAT_DESC (earliest record's
+  * raw value), a LIB_FEAT_ID, and FEAT_DESC_VALUES listing every raw
+  * variant (fixture: NAME "Robert Smith" groups Robert/Robbie/
+  * Bob J/Bob, flow-output.jsonl:1). RECORDS carry MATCH_KEY,
+  * MATCH_LEVEL_CODE and a synthesized ERRULE_CODE; RELATED_ENTITIES
+  * carry match key (with the reference's " (Ambiguous)" suffix),
+  * ERRULE_CODE, IS_AMBIGUOUS / IS_DISCLOSED flags, and the related
+  * entity's ENTITY_NAME + RECORD_SUMMARY.
+  *
   * Original span sequences ride along inside RECORDS (sorted by
   * offset) so the per-row invariant — span-sequence equality of
   * (kind, text, media_ref, order) — is checkable on the final output.
   */
 object Assemble {
 
-  /** Per-doc FEATURES entries: (ftype, desc) pairs from the raw span
-    * values, mirroring Senzing's feature typing (P4 in SURVEY.md §2.2).
+  /** Per-doc feature entries: (ftype, desc, canon, usage) — raw
+    * description from the spans, grouping key from the normalized
+    * feature columns (the docs frame carries both).
     */
   private def docFeatureEntries: Column = {
     val sp = col("spans")
-    def f(ftype: String, value: Column): Column =
-      when(value.isNotNull, struct(lit(ftype).as("ftype"), value.as("desc")))
+    def f(ftype: String, value: Column, canon: Column, usage: Column = lit(null)): Column =
+      when(value.isNotNull, struct(lit(ftype).as("ftype"), value.as("desc"),
+        coalesce(canon.cast("string"), lower(value)).as("canon"), usage.as("usage")))
     val addrRaw = coalesce(
       spanText(sp, "addr_full"),
       nullif(trim(concat_ws(" ",
@@ -39,22 +54,33 @@ object Assemble {
       spanText(sp, "primary_name_org"),
       spanText(sp, "secondary_name_org"),
       spanText(sp, "native_name_full"))
+    // canon keys: variants that should share one feature group
+    val nameCanon = concat_ws(" ",
+      get(split(col("given_can"), " "), lit(0)), col("surname"))
+    val dobCanon = concat_ws(":", col("dob.y"),
+      least(col("dob.m"), col("dob.d")), greatest(col("dob.m"), col("dob.d")))
+    val addrCanon = concat_ws(":", col("addr.house"), col("addr.street"))
+    val nameUsage = when(spanText(sp, "primary_name_first").isNotNull ||
+      spanText(sp, "primary_name_last").isNotNull ||
+      spanText(sp, "primary_name_full").isNotNull, "PRIMARY")
     filter(array(
-      f("NAME", nameRaw),
-      f("DOB", spanText(sp, "date_of_birth")),
-      f("ADDRESS", addrRaw),
-      f("PHONE", spanText(sp, "phone_number")),
-      f("EMAIL", spanText(sp, "email_address")),
-      f("SSN", spanText(sp, "ssn_number")),
-      f("PASSPORT", spanText(sp, "passport_number")),
-      f("DRLIC", spanText(sp, "drivers_license_number")),
-      f("NATIONAL_ID", spanText(sp, "national_id_number")),
-      f("GENDER", spanText(sp, "gender")),
-      f("RECORD_TYPE", spanText(sp, "record_type"))
+      f("NAME", nameRaw, nullif(nameCanon, lit("")), nameUsage),
+      f("DOB", spanText(sp, "date_of_birth"), nullif(dobCanon, lit(""))),
+      f("ADDRESS", addrRaw, nullif(addrCanon, lit("")),
+        upper(trim(spanText(sp, "addr_type")))),
+      f("PHONE", spanText(sp, "phone_number"), col("phone7"),
+        upper(trim(spanText(sp, "phone_type")))),
+      f("EMAIL", spanText(sp, "email_address"), col("email")),
+      f("SSN", spanText(sp, "ssn_number"), col("ssn")),
+      f("PASSPORT", spanText(sp, "passport_number"), col("passport")),
+      f("DRLIC", spanText(sp, "drivers_license_number"), col("drlic")),
+      f("NATIONAL_ID", spanText(sp, "national_id_number"), col("national_id")),
+      f("GENDER", spanText(sp, "gender"), col("gender")),
+      f("RECORD_TYPE", spanText(sp, "record_type"), upper(trim(spanText(sp, "record_type"))))
     ), e => e.isNotNull)
   }
 
-  /** Best incoming RESOLVED edge per doc → (doc_id, match_key, level).
+  /** Best incoming RESOLVED edge per doc → (doc_id, match_key).
     * The cluster seed (min doc_id = entity_id) reports an empty
     * MATCH_KEY like the reference's first record of each entity.
     */
@@ -69,52 +95,131 @@ object Assemble {
   /** Assemble resolved entities.
     *
     * @param features Normalize.features output
+    * @param docsWithSpans (doc_id, spans)
     * @param assignments (doc_id, entity_id)
-    * @param edges scored edges with `level`
-    * @param numberEntities assign dense ascending ENTITY_ID longs
-    *        (orderBy min doc_id) — report parity for small-scale golden
-    *        files; at 10^12 docs keep the string id (no global sort).
+    * @param edges scored edges with `level` (and optionally
+    *        `is_ambiguous` from graft.score.Ambiguity)
+    * @param numberEntities dense ascending ENTITY_ID longs and dense
+    *        LIB_FEAT_IDs (distributed range numbering); when false,
+    *        ids are stable hashes/keys — no numbering pass at all.
+    * @param ambiguousDocs (doc_id, conflict_desc) from Ambiguity —
+    *        holders of the AMBIGUOUS_ENTITY feature.
+    * @param relatedAssignments assignment frame used to resolve the
+    *        OTHER endpoint of related-entity edges; defaults to
+    *        `assignments`. Delta export passes the full assignment
+    *        frame here while `assignments` is the affected subset, so
+    *        relationships pointing at unaffected entities survive
+    *        (their name/summary enrichment is null — BRIEF-style, like
+    *        the reference's delta flags).
     */
   def entities(
       features: DataFrame,
-      docsWithSpans: DataFrame, // (doc_id, spans)
+      docsWithSpans: DataFrame,
       assignments: DataFrame,
       edges: DataFrame,
-      numberEntities: Boolean = true): DataFrame = {
+      numberEntities: Boolean = true,
+      ambiguousDocs: Option[DataFrame] = None,
+      relatedAssignments: Option[DataFrame] = None): DataFrame = {
 
-    val resolved = edges.filter(col("level") === "RESOLVED")
+    val edgesA =
+      if (edges.columns.contains("is_ambiguous")) edges
+      else edges.withColumn("is_ambiguous", lit(false))
+    val resolved = edgesA.filter(col("level") === "RESOLVED")
     val matchInfo = perDocMatchInfo(resolved)
+
+    // dense ENTITY_IDs (distributed range numbering off the narrow
+    // assignment frame); needed early so RELATED_ENTITIES can carry the
+    // other side's numeric id like the reference
+    val entityIds =
+      if (numberEntities)
+        Some(denseIds(assignments.select(col("entity_id").as("entity_key")), "entity_key"))
+      else None
 
     val docs = features
       .join(docsWithSpans.select("doc_id", "spans"), "doc_id")
       .join(assignments, "doc_id")
       .join(matchInfo, Seq("doc_id"), "left")
-      .withColumn("feature_entries", docFeatureEntries)
       .withColumn("spans_sorted", array_sort(col("spans"),
         (l, r) => when(l.getField("offset") < r.getField("offset"), -1)
           .when(l.getField("offset") > r.getField("offset"), 1).otherwise(0)))
+      .localCheckpoint(true) // fanned into 4 aggregations below
 
-    // FEATURES map: entity × ftype → sorted distinct raw descriptions
-    val featMap = docs
-      .select(col("entity_id"), explode(col("feature_entries")).as("fe"))
-      .groupBy(col("entity_id"), col("fe.ftype").as("ftype"))
-      .agg(array_sort(array_distinct(collect_list(col("fe.desc")))).as("descs"))
+    // ---- FEATURES: variant groups per (entity, ftype, canon, usage) ----
+    val baseEntries = docs
+      .select(col("entity_id"), col("doc_id"), explode(docFeatureEntries).as("fe"))
+      .select(col("entity_id"), col("doc_id"), col("fe.ftype").as("ftype"),
+        col("fe.desc").as("desc"), col("fe.canon").as("canon"), col("fe.usage").as("usage"))
+    val ambEntries = ambiguousDocs.map(_.join(assignments, "doc_id")
+      .select(col("entity_id"), col("doc_id"), lit("AMBIGUOUS_ENTITY").as("ftype"),
+        col("conflict_desc").as("desc"), col("conflict_desc").as("canon"),
+        lit(null).cast("string").as("usage")))
+    // materialized: feeds three aggregations (FEATURES, ENTITY_NAME, lib
+    // ids) — also sidesteps an AQE attribute-resolution bug when the
+    // Generate(explode) branch is reused across them
+    val entries = ambEntries.fold(baseEntries)(baseEntries.unionByName(_))
+      .localCheckpoint(true)
+
+    val perDesc = entries
+      .groupBy("entity_id", "ftype", "canon", "usage", "desc")
+      .agg(min("doc_id").as("first_doc"))
+      .withColumn("lib_key", concat_ws("", col("ftype"), col("desc")))
+    // LIB_FEAT_ID: dense corpus-level id per distinct (ftype, desc) in
+    // numbered (report-parity) mode; stable hash otherwise
+    val withLib =
+      if (numberEntities)
+        perDesc.join(
+          denseIds(perDesc.select("lib_key"), "lib_key", outCol = "lib_id"), "lib_key")
+      else perDesc.withColumn("lib_id", abs(xxhash64(col("lib_key"))))
+
+    val groups = withLib
+      .groupBy("entity_id", "ftype", "canon", "usage")
+      .agg(
+        min_by(struct(col("desc"), col("lib_id")), struct(col("first_doc"), col("desc")))
+          .as("rep"),
+        transform(array_sort(collect_list(
+          struct(col("first_doc"), col("desc"), col("lib_id")))),
+          v => struct(v.getField("desc").as("FEAT_DESC"),
+            v.getField("lib_id").as("LIB_FEAT_ID"))).as("FEAT_DESC_VALUES"))
+    val featMap = groups
+      .groupBy("entity_id", "ftype")
+      .agg(array_sort(collect_list(struct(
+        col("rep.desc").as("FEAT_DESC"),
+        col("rep.lib_id").as("LIB_FEAT_ID"),
+        col("usage").as("USAGE_TYPE"),
+        col("FEAT_DESC_VALUES")))).as("arr"))
       .groupBy("entity_id")
-      .agg(map_from_entries(array_sort(collect_list(struct(col("ftype"), col("descs")))))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("ftype"), col("arr")))))
         .as("FEATURES"))
 
+    // ---- ENTITY_NAME: approximation of Senzing's display-name pick,
+    // calibrated on the fixture (68/74 exact): most frequent exact
+    // normalized name, then longest alphabetic form, then least
+    // punctuation, then the latest record's value ----
+    val nameCand = entries.filter(col("ftype") === "NAME")
+      .withColumn("nnorm", regexp_replace(lower(col("desc")), "[^a-z ]", ""))
+    val nameFreq = nameCand.groupBy("entity_id", "nnorm").agg(count(lit(1)).as("freq"))
+    val entityName = nameCand.join(nameFreq, Seq("entity_id", "nnorm"))
+      .groupBy("entity_id")
+      .agg(max_by(col("desc"), struct(
+        col("freq"),
+        length(regexp_replace(lower(col("desc")), "[^a-z]", "")),
+        -length(regexp_replace(col("desc"), "[a-zA-Z ]", "")),
+        col("doc_id"))).as("ENTITY_NAME"))
+
+    // ---- RECORDS + RECORD_SUMMARY ----
+    val seedKey = coalesce(
+      when(col("doc_id") === col("entity_id"), lit("")), col("match_key"), lit(""))
     val recordsAgg = docs.groupBy("entity_id").agg(
       array_sort(collect_list(struct(
         col("doc_id").as("DOC_ID"),
         col("data_source").as("DATA_SOURCE"),
         col("record_id").as("RECORD_ID"),
-        coalesce(when(col("doc_id") === col("entity_id"), lit("")), col("match_key"), lit(""))
-          .as("MATCH_KEY"),
+        seedKey.as("MATCH_KEY"),
         when(col("doc_id") === col("entity_id"), lit(""))
           .otherwise(lit("RESOLVED")).as("MATCH_LEVEL_CODE"),
+        when(seedKey === "", lit(""))
+          .otherwise(ErRule.code(seedKey, lit("RESOLVED"))).as("ERRULE_CODE"),
         col("spans_sorted").as("SPANS")))).as("RECORDS"),
-      max_by(col("name_display"), struct(length(col("name_display")), col("name_display")))
-        .as("ENTITY_NAME"),
       count(lit(1)).as("RECORD_COUNT"))
 
     val summary = docs.groupBy("entity_id", "data_source")
@@ -124,54 +229,72 @@ object Assemble {
         col("data_source").as("DATA_SOURCE"),
         col("RECORD_COUNT")))).as("RECORD_SUMMARY"))
 
-    // related entities: sub-threshold edges whose endpoints ended in
-    // different clusters; best edge per entity pair, emitted both ways
-    val nonResolved = edges.filter(col("level") =!= "RESOLVED")
-    val aAssign = assignments
+    // ---- RELATED_ENTITIES: best sub-threshold edge per entity pair,
+    //      enriched with the other side's name + record summary ----
+    val nonResolved = edgesA.filter(col("level") =!= "RESOLVED")
+    val relAssign = relatedAssignments.getOrElse(assignments)
+    val aAssign = relAssign
       .select(col("doc_id").as("doc_a"), col("entity_id").as("entity_a"))
-    val bAssign = assignments
+    val bAssign = relAssign
       .select(col("doc_id").as("doc_b"), col("entity_id").as("entity_b"))
     val crossEdges = nonResolved
       .join(aAssign, "doc_a").join(bAssign, "doc_b")
       .filter(col("entity_a") =!= col("entity_b"))
       .groupBy("entity_a", "entity_b")
-      .agg(
-        max_by(col("match_key"), col("score")).as("match_key"),
-        max_by(col("level"), col("score")).as("level"))
+      .agg(max_by(struct(col("match_key"), col("level"), col("is_ambiguous")),
+        struct(col("score"), col("match_key"))).as("best"))
+      .select(col("entity_a"), col("entity_b"), col("best.match_key").as("match_key"),
+        col("best.level").as("level"), col("best.is_ambiguous").as("amb"))
     val relatedBoth = crossEdges
       .select(col("entity_a").as("entity_id"), col("entity_b").as("other"),
-        col("match_key"), col("level"))
+        col("match_key"), col("level"), col("amb"))
       .unionAll(crossEdges.select(col("entity_b").as("entity_id"),
-        col("entity_a").as("other"), col("match_key"), col("level")))
-    val related = relatedBoth.groupBy("entity_id")
+        col("entity_a").as("other"), col("match_key"), col("level"), col("amb")))
+    val otherCore = entityName
+      .join(summary, Seq("entity_id"), "left")
+      .join(entityIds.fold(
+        entityName.select(col("entity_id"),
+          abs(xxhash64(col("entity_id"))).as("other_eid")))(ids =>
+        ids.select(col("entity_key").as("entity_id"), col("ENTITY_ID").as("other_eid"))),
+        Seq("entity_id"), "left")
+      .select(col("entity_id").as("other"), col("other_eid"),
+        col("ENTITY_NAME").as("other_name"),
+        col("RECORD_SUMMARY").as("other_summary"))
+    val related = relatedBoth
+      .join(otherCore, Seq("other"), "left")
+      .groupBy("entity_id")
       .agg(array_sort(collect_list(struct(
         col("other").as("RELATED_ENTITY_KEY"),
+        col("other_eid").as("ENTITY_ID"),
         col("level").as("MATCH_LEVEL_CODE"),
-        col("match_key").as("MATCH_KEY")))).as("RELATED_ENTITIES"))
+        concat(col("match_key"), when(col("amb"), " (Ambiguous)").otherwise(""))
+          .as("MATCH_KEY"),
+        ErRule.code(col("match_key"), col("level")).as("ERRULE_CODE"),
+        when(col("amb"), 1).otherwise(0).as("IS_AMBIGUOUS"),
+        lit(0).as("IS_DISCLOSED"),
+        col("other_name").as("ENTITY_NAME"),
+        col("other_summary").as("RECORD_SUMMARY")))).as("RELATED_ENTITIES"))
 
     val base = recordsAgg
+      .join(entityName, Seq("entity_id"), "left")
       .join(featMap, Seq("entity_id"), "left")
       .join(summary, Seq("entity_id"), "left")
       .join(related, Seq("entity_id"), "left")
-      .withColumn("RELATED_ENTITIES",
-        coalesce(col("RELATED_ENTITIES"),
-          array().cast("array<struct<RELATED_ENTITY_KEY:string,MATCH_LEVEL_CODE:string,MATCH_KEY:string>>")))
+      .withColumn("RELATED_ENTITIES", coalesce(col("RELATED_ENTITIES"),
+        array().cast(
+          "array<struct<RELATED_ENTITY_KEY:string,ENTITY_ID:bigint," +
+            "MATCH_LEVEL_CODE:string," +
+            "MATCH_KEY:string,ERRULE_CODE:string,IS_AMBIGUOUS:int,IS_DISCLOSED:int," +
+            "ENTITY_NAME:string," +
+            "RECORD_SUMMARY:array<struct<DATA_SOURCE:string,RECORD_COUNT:bigint>>>>")))
 
     // `entity_key` stays the canonical (string, min-doc-id) id; ENTITY_ID
     // is the reference-parity dense ascending long. Numbering is fully
     // distributed (no single-partition window): range-partition the key
     // set, row_number within each range, add per-partition offsets.
     val keyed = base.withColumnRenamed("entity_id", "entity_key")
-    if (numberEntities) {
-      // number off the narrow assignment frame (one shuffle over ids),
-      // not the wide assembled rows — the count pass must not recompute
-      // the assembly aggregations
-      val ids = denseIds(
-        assignments.select(col("entity_id").as("entity_key")), "entity_key")
-      keyed.join(ids, "entity_key")
-    } else {
-      keyed.withColumn("ENTITY_ID", col("entity_key"))
-    }
+    entityIds.fold(keyed.withColumn("ENTITY_ID", col("entity_key")))(ids =>
+      keyed.join(ids, "entity_key"))
   }
 
   /** Dense ascending 1-based long ids over the distinct values of
@@ -181,7 +304,8 @@ object Assemble {
     * the only driver-side state is one count per partition. Equivalent
     * to `dense_rank().over(Window.orderBy(keyCol))` on distinct keys.
     */
-  def denseIds(keys: DataFrame, keyCol: String, partitions: Int = 64): DataFrame = {
+  def denseIds(keys: DataFrame, keyCol: String, partitions: Int = 64,
+      outCol: String = "ENTITY_ID"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranged = keys.select(keyCol).distinct()
       .repartitionByRange(partitions, col(keyCol))
@@ -194,7 +318,7 @@ object Assemble {
     }
     val offMap = typedlit((0 until partitions).map(p => p -> offsets(p)).toMap)
     val w = Window.partitionBy("_pid").orderBy(col(keyCol))
-    ranged.withColumn("ENTITY_ID",
+    ranged.withColumn(outCol,
         row_number().over(w).cast("long") + element_at(offMap, col("_pid")))
       .drop("_pid")
   }

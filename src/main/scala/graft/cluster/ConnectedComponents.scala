@@ -25,8 +25,10 @@ import org.apache.spark.storage.StorageLevel
   *    a parquet snapshot via `checkpointDir` for resumability) to
   *    truncate lineage — O(log n) iterations otherwise explode the
   *    plan;
-  *  - convergence is decided from a (count, hash-sum) aggregate of the
-  *    edge set, one action per iteration.
+  *  - convergence is decided from a (count, xor-hash) fingerprint
+  *    OBSERVED on the checkpoint materialization itself
+  *    (Dataset.observe + Observation) — zero extra actions or scans
+  *    per iteration.
   */
 object ConnectedComponents {
 
@@ -49,20 +51,29 @@ object ConnectedComponents {
     // two unions), so un-truncated plans grow 16^k and AQE's
     // plan-description stringification alone takes minutes by
     // iteration 4.
-    def checkpoint(df: DataFrame, iter: Int): DataFrame = checkpointDir match {
-      case Some(dir) =>
-        val path = s"$dir/cc_iter_$iter"
-        df.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-      case None =>
-        df.localCheckpoint(true)
-    }
-
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val row = e.agg(
+    /** Materialize + fingerprint in ONE pass: the (count, xor-hash)
+      * convergence fingerprint rides the checkpoint job as an observed
+      * metric instead of a second scan.
+      */
+    def checkpoint(df: DataFrame, iter: Int): (DataFrame, (Long, Long)) = {
+      // UUID suffix: Observation matches metrics BY NAME across the
+      // session — concurrent runs (parallel test suites) must not
+      // cross-wire each other's convergence fingerprints
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_fp_${iter}_${java.util.UUID.randomUUID}")
+      val observed = df.observe(obs,
         count(lit(1)).as("n"),
-        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).head()
-      (row.getLong(0), row.getLong(1))
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
+      val out = checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/cc_iter_$iter"
+          observed.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None =>
+          observed.localCheckpoint(true)
+      }
+      val row = obs.get
+      (out, (row("n").asInstanceOf[Long], row("h").asInstanceOf[Long]))
     }
 
     // large-star: connect every neighbor larger than u to the min of
@@ -94,16 +105,14 @@ object ConnectedComponents {
         .distinct()
     }
 
-    var e = checkpoint(
+    var (e, fp) = checkpoint(
       edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct(), 0)
-    var fp = fingerprint(e)
     var iter = 0
     var converged = false
     val edgeCounts = scala.collection.mutable.ArrayBuffer[Long](fp._1)
     while (!converged && iter < maxIterations) {
       iter += 1
-      val next = checkpoint(smallStar(largeStar(e)), iter)
-      val nfp = fingerprint(next)
+      val (next, nfp) = checkpoint(smallStar(largeStar(e)), iter)
       converged = nfp == fp
       fp = nfp
       edgeCounts += nfp._1

@@ -26,20 +26,34 @@ object ExportJob {
   case object Full extends Mode
   final case class Delta(fromSnapshot: Long, toSnapshot: Long) extends Mode
 
-  /** Build the export dataset (one JSON line per entity). */
+  /** Build the export dataset (one JSON line per entity).
+    *
+    * DELTA assembles ONLY the affected entities: the assignment frame
+    * is semi-joined to the affected-id diff BEFORE Assemble.entities,
+    * so the grouping/aggregation work is proportional to the delta —
+    * not the corpus (the reference likewise fetches affected ids one
+    * by one, exporter.py:173-189; round 1 assembled everything and
+    * filtered after). Delta entity ids are the STABLE entity keys
+    * (min member doc id) — dense renumbering over a partial entity
+    * set would disagree with the full export's numbering.
+    */
   def export(
       spark: SparkSession,
       store: SnapshotStore,
-      entities: DataFrame, // Assemble.entities output (with entity_key)
+      resolve: ResolveJob.Result,
       mode: Mode): DataFrame = mode match {
-    case Full => Assemble.toExportJson(entities)
+    case Full => Assemble.toExportJson(resolve.entities)
     case Delta(from, to) =>
       val prev = store.read(spark, "assignments", Some(from))
       val curr = store.read(spark, "assignments", Some(to))
       val affected = SnapshotDiff.affectedEntities(prev, curr)
         .withColumnRenamed("entity_id", "affected_id")
-      Assemble.toExportJson(
-        entities.join(affected, entities("entity_key") === col("affected_id"), "left_semi"))
+      val affAssignments = resolve.assignments.join(affected,
+        resolve.assignments("entity_id") === col("affected_id"), "left_semi")
+      Assemble.toExportJson(Assemble.entities(
+        resolve.features, resolve.docs, affAssignments, resolve.edges,
+        numberEntities = false, ambiguousDocs = Some(resolve.ambiguousDocs),
+        relatedAssignments = Some(resolve.assignments)))
   }
 
   /** Write JSONL to `<outDir>/<exportId>-exporter-output-<mode>/` with

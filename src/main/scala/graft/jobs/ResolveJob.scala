@@ -5,7 +5,7 @@ import graft.blocking.Blocking
 import graft.cluster.ConnectedComponents
 import graft.io.SnapshotStore
 import graft.normalize.Normalize
-import graft.score.{Generic, Scoring}
+import graft.score.{Ambiguity, Generic, Scoring}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,10 +42,12 @@ object ResolveJob {
       snapshotRoot: Option[String] = None)
 
   final case class Result(
+      docs: DataFrame,
       features: DataFrame,
       edges: DataFrame,
       assignments: DataFrame,
       entities: DataFrame,
+      ambiguousDocs: DataFrame,
       ccStats: ConnectedComponents.Stats,
       metrics: Map[String, Long],
       resumedStages: Seq[String])
@@ -65,25 +67,38 @@ object ResolveJob {
   private def runInner(spark: SparkSession, docs: DataFrame, cfg: Config): Result = {
     val store = cfg.snapshotRoot.map(new SnapshotStore(_))
     val resumed = scala.collection.mutable.ArrayBuffer[String]()
+    val stageRows = scala.collection.mutable.Map[String, Long]()
 
     /** Materialize a stage: resume from the store when a committed
       * snapshot exists; otherwise compute, commit (with per-partition
-      * lineage), or localCheckpoint when no store is configured.
+      * lineage), or localCheckpoint when no store is configured. Row
+      * counts ride the materialization job as OBSERVED metrics
+      * (Dataset.observe) — the job's counters cost no extra actions.
       */
-    def stage(name: String)(build: => DataFrame): DataFrame = store match {
-      case Some(st) if st.exists(name) =>
-        resumed += name
-        st.read(spark, name).localCheckpoint(true)
-      case Some(st) =>
-        val df = build.localCheckpoint(true)
-        st.commit(df, name)
-        val lineage = df
-          .groupBy(spark_partition_id().as("partition_id"))
-          .agg(count(lit(1)).as("rows"))
-          .withColumn("stage", lit(name))
-        st.commit(lineage, s"_lineage_$name")
-        df
-      case None => build.localCheckpoint(true)
+    def stage(name: String)(build: => DataFrame): DataFrame = {
+      // UUID suffix: concurrent runs must not cross-match metrics by name
+      val obs = org.apache.spark.sql.Observation(
+        s"stage_${name}_${java.util.UUID.randomUUID}")
+      def observedCheckpoint(df: DataFrame): DataFrame = {
+        val out = df.observe(obs, count(lit(1)).as("rows")).localCheckpoint(true)
+        stageRows(name) = obs.get("rows").asInstanceOf[Long]
+        out
+      }
+      store match {
+        case Some(st) if st.exists(name) =>
+          resumed += name
+          observedCheckpoint(st.read(spark, name))
+        case Some(st) =>
+          val df = observedCheckpoint(build)
+          st.commit(df, name)
+          val lineage = df
+            .groupBy(spark_partition_id().as("partition_id"))
+            .agg(count(lit(1)).as("rows"))
+            .withColumn("stage", lit(name))
+          st.commit(lineage, s"_lineage_$name")
+          df
+        case None => observedCheckpoint(build)
+      }
     }
 
     val docsSnap = stage("docs")(docs)
@@ -100,13 +115,18 @@ object ResolveJob {
     // janino failure → interpreted eval). Per-operator codegen splits
     // methods fine and compiles. The stage is materialized eagerly
     // inside this conf window.
-    val nDocs = feats.count()
-    val edges = graft.util.Confs.withConfs(spark)(
+    val nDocs = stageRows("features")
+    val rawEdges = graft.util.Confs.withConfs(spark)(
       "spark.sql.codegen.wholeStage" -> "false") {
-      stage("edges") {
+      stage("edges_raw") {
         Scoring.scorePairs(pairs, feats, cfg.weights, broadcastFeatures = nDocs < 3000000)
       }
     }
+    // ambiguous-match suppression (Senzing semantics): conflicting
+    // comparable claims never merge — see graft.score.Ambiguity
+    val amb = Ambiguity.suppress(rawEdges, feats)
+    val edges = stage("edges")(amb.edges)
+    val ambDocs = stage("ambiguous_docs")(amb.ambiguousDocs)
 
     val resolved = edges.filter(col("level") === "RESOLVED")
     var ccStats = ConnectedComponents.Stats(0, Seq.empty)
@@ -117,15 +137,18 @@ object ResolveJob {
       assignments
     }
 
-    val entities = Assemble.entities(feats, docsSnap, assignP, edges, cfg.numberEntities)
+    val entities = Assemble.entities(feats, docsSnap, assignP, edges,
+      cfg.numberEntities, ambiguousDocs = Some(ambDocs))
 
     val metrics = Map(
       "docs" -> nDocs,
-      "pairs_generated" -> pairs.count(),
-      "pairs_scored" -> edges.count(),
-      "edges_resolved" -> resolved.count(),
+      "pairs_generated" -> stageRows("pairs"),
+      "pairs_scored" -> stageRows("edges"),
+      "edges_resolved" -> resolved.count(), // filtered — cheap checkpointed scan
+      "ambiguous_docs" -> stageRows("ambiguous_docs"),
       "cc_iterations" -> ccStats.iterations.toLong)
 
-    Result(feats, edges, assignP, entities, ccStats, metrics, resumed.toSeq)
+    Result(docsSnap, feats, edges, assignP, entities, ambDocs, ccStats, metrics,
+      resumed.toSeq)
   }
 }

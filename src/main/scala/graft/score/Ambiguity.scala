@@ -65,7 +65,7 @@ object Ambiguity {
       when(col(s"fu.$c").isNotNull && col(s"fv.$c").isNotNull &&
         col(s"fu.$c") =!= col(s"fv.$c"), c.toUpperCase): org.apache.spark.sql.Column)
       .reduce(coalesce(_, _))
-    val fired = tri
+    val fired0 = tri
       .join(ids.as("fu"), col("u") === col("fu.doc_id"))
       .join(ids.as("fv"), col("v") === col("fv.doc_id"))
       .filter(conflictExpr)
@@ -74,6 +74,28 @@ object Ambiguity {
       .filter(col("v_best").isNotNull && col("v_best") >= col("s_u"))
       .select(col("d"), col("u"), col("v"), conflictType.as("conflict_type"))
       .localCheckpoint(true)
+
+    // Sequential-order emulation: in the reference, a record that is
+    // ALREADY ambiguous no longer blocks later records' merges (the
+    // fixture's 1046 merges with Patricia because 1045 went ambiguous
+    // first). Order-free fixpoint over doc_id-as-ingest-order: a triple
+    // is cancelled while its competitor v is itself an ambiguous doc
+    // with v < d. Conflict chains are short; 4 deterministic rounds
+    // reach the fixpoint on anything non-adversarial (frames here are
+    // the sparse conflict set — trivially small next to the edge set).
+    var fired = fired0
+    var prev = -1L
+    var iters = 0
+    while (iters < 4 && fired.count() != prev) {
+      prev = fired.count()
+      val amb = fired.select(col("d").as("v")).distinct()
+        .withColumn("_vamb", lit(true))
+      fired = fired0.join(amb, Seq("v"), "left")
+        .filter(!(coalesce(col("_vamb"), lit(false)) && col("v") < col("d")))
+        .drop("_vamb")
+        .localCheckpoint(true)
+      iters += 1
+    }
 
     // reference shape: FEAT_DESC "CONFLICTING EXCLUSIVE,<what>"
     // (flow-output.jsonl entity 31)

@@ -43,14 +43,16 @@ object ErRule {
     def has(f: String): Column = matchKey.contains(s"+$f")
     val f1 = F1Features.map(has).reduce(_ || _)
     val ff = has("ADDRESS") || has("PHONE")
-    val name = has("NAME")
+    val pname = has("PNAME")
+    val surname = has("SURNAME")
+    val name = has("NAME") || pname
     val dob = has("DOB")
     val dexcl = matchKey.contains("-GENDER") || matchKey.contains("-DOB") ||
       matchKey.contains("-GENERATION")
     def seg(cond: Column, s: String): Column = when(cond, s).otherwise("")
 
     val resolved = when(f1, concat(lit("SF1"),
-        seg(name && dob, "_PNAME"), seg(name && !dob, "_CNAME"),
+        seg(name && (dob || pname), "_PNAME"), seg(name && !dob && !pname, "_CNAME"),
         seg(ff, "_CFF"), seg(dob, "_CSTAB")))
       .when(name && ff, concat(lit("CNAME_CFF"), seg(dob, "_CEXCL")))
       .when(name && dob, lit("SNAME_SSTAB"))
@@ -58,7 +60,8 @@ object ErRule {
       .when(ff, lit("CFF"))
       .otherwise(lit(""))
 
-    val related = when(f1, lit("SF1"))
+    val related = when(surname && ff, lit("CFF_SURNAME"))
+      .when(f1, lit("SF1"))
       .when(name && ff, lit("CNAME_CFF"))
       .when(name && dob, lit("CNAME_CSTAB"))
       .when(name, lit("CNAME"))

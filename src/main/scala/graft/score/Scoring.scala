@@ -148,6 +148,7 @@ object Scoring {
       col("doc_a"), col("doc_b"),
       gs.as("gs_straight"), ss.as("ss_straight"),
       gsSwap.as("gs_swap"), ssSwap.as("ss_swap"),
+      least(length(a2("given_raw")), length(b2("given_raw"))).as("min_given_len"),
       (a2("generation").isNotNull && b2("generation").isNotNull &&
         a2("generation") =!= b2("generation")).as("gen_conflict"),
       dobCmp.as("dob_cmp"),
@@ -202,7 +203,22 @@ object Scoring {
     val addrPts = when(col("addr_eq"), w.addr).otherwise(0.0)
     val genderPts = idPts("gender_cmp", w.genderAgree, w.genderDisagree)
 
+    // name CLASS for key/level rendering (golden grammar): NAME = both
+    // components agree, or agreement with the other component missing
+    // (fixture: surname-only "Andreason" pairs and given-only "Beau"
+    // render +NAME); PNAME = given agrees but the surname DISAGREES
+    // (fixture: Magdalena Smith/Jones → +DOB+DRLIC+PNAME — partial,
+    // appended last, zero points); SURNAME = surname agrees but the
+    // given disagrees (POSSIBLY_RELATED evidence only, zero points)
+    val nameClass =
+      when(bothFull && gsB >= 0.92 && ssB >= 0.88, "NAME")
+        .when(bothFull && gsB >= 0.92 && ssB < 0.65, "PNAME")
+        .when(bothFull && ssB >= 0.88 && gsB < 0.65, "SURNAME")
+        .when(gsB.isNotNull && ssB.isNull && gsB >= 0.9, "NAME")
+        .when(ssB.isNotNull && gsB.isNull && ssB >= 0.92, "NAME")
+
     val ptsNamed = Seq(
+      nameClass.as("name_class"),
       namePts.as("name_pts"), genPts.as("gen_pts"), dobPts.as("dob_pts"),
       phonePts.as("phone_pts"), emailPts.as("email_pts"), ssnPts.as("ssn_pts"),
       passportPts.as("passport_pts"), drlicPts.as("drlic_pts"),
@@ -219,20 +235,33 @@ object Scoring {
       when(pts > 0, s"+$name").when(pts < 0, s"-$name").otherwise("")
 
     val matchKey = concat(
-      key(col("name_pts"), "NAME"), key(col("dob_pts"), "DOB"),
+      // name term first (NAME / SURNAME), except PNAME which the
+      // reference renders LAST (+DOB+ADDRESS+EMAIL+PNAME)
+      when(col("name_class") === "NAME" && col("name_pts") > 0, "+NAME")
+        .when(col("name_class") === "SURNAME", "+SURNAME")
+        .when(col("name_pts") < 0, "-NAME").otherwise(""),
+      key(col("dob_pts"), "DOB"),
       key(col("addr_pts"), "ADDRESS"), key(col("phone_pts"), "PHONE"),
       key(col("email_pts"), "EMAIL"), key(col("ssn_pts"), "SSN"),
       key(col("passport_pts"), "PASSPORT"), key(col("drlic_pts"), "DRLIC"),
-      key(col("nid_pts"), "NATIONAL_ID"), key(col("gender_pts"), "GENDER"),
-      key(col("gen_pts"), "GENERATION"))
+      key(col("nid_pts"), "NATIONAL_ID"),
+      // gender agreement is weak evidence Senzing never CREDITS in a
+      // match key — the fixture has -GENDER but zero +GENDER
+      when(col("gender_pts") < 0, "-GENDER").otherwise(""),
+      key(col("gen_pts"), "GENERATION"),
+      when(col("name_class") === "PNAME", "+PNAME").otherwise(""))
 
     val scored = pts.withColumn("score", score)
+    // POSSIBLY_SAME requires FULL-name support (fixture: every
+    // POSSIBLY_SAME key carries +NAME; surname/partial-name matches are
+    // POSSIBLY_RELATED however they score)
     val level =
       when(col("score") >= w.thetaResolve, "RESOLVED")
-        .when(col("score") >= w.thetaPossible, "POSSIBLY_SAME")
+        .when(col("score") >= w.thetaPossible && col("name_class") === "NAME",
+          "POSSIBLY_SAME")
         .when(col("email_pts") > 0 || col("phone_pts") > 0 || col("addr_pts") > 0 ||
           col("ssn_pts") > 0 || col("passport_pts") > 0 || col("drlic_pts") > 0 ||
-          col("nid_pts") > 0, "POSSIBLY_RELATED")
+          col("nid_pts") > 0 || col("name_class") === "SURNAME", "POSSIBLY_RELATED")
 
     scored.select(
       col("doc_a"), col("doc_b"),

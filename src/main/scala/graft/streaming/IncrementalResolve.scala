@@ -112,11 +112,14 @@ object IncrementalResolve {
         .unionByName(newEdges)
     } else newEdges
     val edgesSnap = edges.localCheckpoint(true)
-    store.commit(edgesSnap, "edges")
+    store.commit(edgesSnap, "edges") // RAW scores; ambiguity re-derives
+    // per batch from the full merged edge set (a new doc can create or
+    // dissolve a conflict), matching the batch job's semantics
+    val suppressed = graft.score.Ambiguity.suppress(edgesSnap, feats)
 
     val (assignments, _) = ConnectedComponents.assign(
       spark, docsSnap.select("doc_id"),
-      edgesSnap.filter(col("level") === "RESOLVED"), cfg.checkpointDir)
+      suppressed.edges.filter(col("level") === "RESOLVED"), cfg.checkpointDir)
     val assignSnap = assignments.localCheckpoint(true)
 
     val affected = if (store.exists("assignments")) {

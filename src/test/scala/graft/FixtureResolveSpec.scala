@@ -92,11 +92,13 @@ class FixtureResolveSpec extends AnyFunSuite {
     assert(s1.select("entity_id").distinct().count() ==
       s0.select("entity_id").distinct().count() + 1)
 
-    // delta export: affected ids → entity payloads (J5 semantics)
-    val deltaEntities = result2.entities.join(
-      SnapshotDiff.affectedEntities(s0, s1).withColumnRenamed("entity_id", "eid"),
-      result2.entities("entity_key") === col("eid"), "left_semi")
-    assert(deltaEntities.count() == 1)
+    // delta export: affected ids → entity payloads (J5 semantics);
+    // assembly input is the FILTERED assignment set, not a post-filter
+    val delta = graft.jobs.ExportJob.export(spark, store, result2,
+      graft.jobs.ExportJob.Delta(1, 2))
+    val lines = delta.collect().map(_.getString(0))
+    assert(lines.length == 1)
+    assert(lines.head.contains("\"HEMINGWAY"))
   }
 
   test("resume: a restarted run reuses committed stage snapshots") {
@@ -109,7 +111,8 @@ class FixtureResolveSpec extends AnyFunSuite {
     // full restart: every stage resumes from its snapshot
     val r2 = ResolveJob.run(spark, docs, cfg)
     assert(r2.resumedStages.toSet ==
-      Set("docs", "features_raw", "features", "pairs", "edges", "assignments"))
+      Set("docs", "features_raw", "features", "pairs", "edges_raw", "edges",
+        "ambiguous_docs", "assignments"))
     val a2 = r2.assignments.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(a1 == a2)
 
@@ -124,7 +127,8 @@ class FixtureResolveSpec extends AnyFunSuite {
     }
     rmTable("edges"); rmTable("assignments")
     val r3 = ResolveJob.run(spark, docs, cfg)
-    assert(r3.resumedStages.toSet == Set("docs", "features_raw", "features", "pairs"))
+    assert(r3.resumedStages.toSet ==
+      Set("docs", "features_raw", "features", "pairs", "edges_raw", "ambiguous_docs"))
     val a3 = r3.assignments.collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(a1 == a3)
 
