@@ -47,6 +47,21 @@ object GraftFunctions {
     GraftSqlBridge.column(
       MinHashBands(GraftSqlBridge.expression(s), shingle, bands, rowsPerBand))
 
+  /** All LSH tables' hyperplane sign-buckets in one kernel pass. */
+  def hyperplane_buckets(embedding: Column, tables: Int, planes: Int): Column =
+    GraftSqlBridge.column(
+      HyperplaneBuckets(GraftSqlBridge.expression(embedding), tables, planes))
+
+  /** Integer-quantized cosine (oracle-parity arithmetic). */
+  def cosine_quantized(a: Column, b: Column, scale: Int = 1000): Column =
+    GraftSqlBridge.column(
+      CosineQuantized(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), scale))
+
+  /** Plain double cosine over embedding arrays. */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      CosineSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** Character n-grams of a string as an array (for MinHash shingling). */
   def char_ngrams(s: Column, n: Int): Column = {
     val padded = s

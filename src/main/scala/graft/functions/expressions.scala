@@ -94,6 +94,69 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Multi-table random-hyperplane LSH sign-buckets of an embedding
+  * vector (array<float> or array<double>) — array<long> of `tables`
+  * bucket values, all computed in one codegen'd kernel pass.
+  */
+case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // def, not val: child.dataType is only legal after analysis
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_buckets"
+  override protected def nullSafeEval(v: Any): Any =
+    VecSim.hyperplaneBuckets(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat, tables, planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VecSim.hyperplaneBuckets($v, $isFloat, $tables, $planes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Integer-quantized cosine similarity (scale-1000 by default) —
+  * bit-identical to the quantized DuckDB oracle arithmetic.
+  */
+case class CosineQuantized(left: Expression, right: Expression, scale: Int)
+    extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_quantized"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecSim.cosineQuantized(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right), scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecSim.cosineQuantized($a, $b, ${isFloat(left)}, ${isFloat(right)}, $scale)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Plain double cosine similarity over embedding arrays. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecSim.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecSim.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Winnowing-style rolling-hash document fingerprint: min 64-bit
   * Karp–Rabin hash over all byte windows of width `window`.
   */

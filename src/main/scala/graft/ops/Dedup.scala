@@ -180,11 +180,8 @@ object Dedup {
       threshold: Double = 0.95,
       quantized: Boolean = false): DataFrame = {
     val bucketed = embeddings.select(col("vec_id"),
-      explode(array((0 until tables).map(tb =>
-        struct(lit(tb).as("tbl"),
-          Similarity.hyperplaneBucket(col("embedding"), planes, seed = tb)
-            .as("bucket"))): _*)).as("b"))
-      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      posexplode(Similarity.hyperplaneBuckets(col("embedding"), tables, planes)))
+      .toDF("vec_id", "tbl", "bucket")
     val cand = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
       .join(bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
         Seq("tbl", "bucket"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,44 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as double (sequential fold → deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Plain double cosine — codegen'd kernel (Catalyst higher-order
+    * functions are CodegenFallback and cost interpreted lambda
+    * dispatch per element; see graft.functions.VecSim).
+    */
+  def cosine(a: Column, b: Column): Column = GraftFunctions.cosine_sim(a, b)
 
   /** Integer-quantized cosine (values scaled by 1000 and rounded):
     * integer dot/norms make the result reproducible across engines —
-    * used by the DuckDB oracle parity query.
+    * used by the DuckDB oracle parity queries. Codegen'd kernel with
+    * Spark-`round`-exact quantization.
     */
-  def cosineQuantized(a: Column, b: Column, scale: Int = 1000): Column = {
-    def q(c: Column): Column = transform(c, x => round(x.cast("double") * scale).cast("long"))
-    val (qa, qb) = (q(a), q(b))
-    def idot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, r) => p * r), lit(0L), (acc, v) => acc + v)
-    idot(qa, qb).cast("double") /
-      (sqrt(idot(qa, qa).cast("double")) * sqrt(idot(qb, qb).cast("double")))
-  }
+  def cosineQuantized(a: Column, b: Column, scale: Int = 1000): Column =
+    GraftFunctions.cosine_quantized(a, b, scale)
 
-  /** Random-hyperplane sign bucket: `planes` pseudo-random hyperplanes
-    * derived deterministically from (table seed, plane, dim) via
-    * xxhash64 — sign of Σ h(p,i)·vᵢ. Distinct `seed`s give independent
-    * tables for multi-table LSH (union of tables recovers pairs a
-    * single table loses to a sign flip on a near-zero projection).
+  /** All `tables` random-hyperplane sign-buckets (`planes` planes each)
+    * in one codegen'd kernel pass — array<long>. Distinct tables give
+    * independent LSH tables (the union recovers pairs a single table
+    * loses to a sign flip on a near-zero projection).
     */
-  def hyperplaneBucket(embedding: Column, planes: Int, seed: Int = 0): Column = {
-    val dims = sequence(lit(0), size(embedding) - 1)
-    val bits = (0 until planes).map { p =>
-      val s = aggregate(dims, lit(0.0), (acc, i) =>
-        acc + element_at(embedding, i + 1).cast("double") *
-          (pmod(xxhash64(lit(seed.toLong * 1009L + p), i), lit(1000)).cast("double") / 500.0 - 1.0))
-      when(s >= 0, 1L << p).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+  def hyperplaneBuckets(embedding: Column, tables: Int, planes: Int): Column =
+    GraftFunctions.hyperplane_buckets(embedding, tables, planes)
 
   /** Brute-force top-k cosine neighbors for a probe subset.
     *
@@ -90,11 +74,8 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
       planes: Int = 6, tables: Int = 4): DataFrame = {
     val bucketed = embeddings.select(col("vec_id"),
-      explode(array((0 until tables).map(tb =>
-        struct(lit(tb).as("tbl"),
-          hyperplaneBucket(col("embedding"), planes, seed = tb).as("bucket"))): _*))
-        .as("b"))
-      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bucket").as("bucket"))
+      posexplode(hyperplaneBuckets(col("embedding"), tables, planes)))
+      .toDF("vec_id", "tbl", "bucket")
     val probeBuckets = bucketed.filter(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("tbl"), col("bucket"))
     val cand = bucketed.join(broadcast(probeBuckets), Seq("tbl", "bucket"))
