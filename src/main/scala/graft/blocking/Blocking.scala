@@ -39,7 +39,7 @@ object Blocking {
     */
   final case class Config(
       maxBlockSize: Int = 64,
-      megaCap: Int = 1024,
+      megaCap: Int = 128,
       salts: Int = 16,
       useLsh: Boolean = true,
       lshBands: Int = 6,

@@ -22,20 +22,30 @@ import org.apache.spark.sql.functions._
 object Generic {
 
   /** `threshold` applies to person-exclusive identifiers; addresses are
-    * shared by households/buildings, so their cutoff is higher.
+    * shared by households/buildings, so their cutoff is higher; full
+    * canonical NAMES shared by ≥ `nameThreshold` docs are population
+    * cohorts ("John Smith") — agreement still scores, but damped
+    * (Fellegi–Sunter: the weight of an agreement is the log-ratio of
+    * match/coincidence probability, and a common name's coincidence
+    * probability is high; measured on the 400k synthetic corpus, bare
+    * name+DOB pairs inside such cohorts are ~55% false).
     */
-  final case class Config(threshold: Int = 4, addrThreshold: Int = 8)
+  final case class Config(threshold: Int = 4, addrThreshold: Int = 8,
+      nameThreshold: Int = 7)
 
-  /** The (flagColumn, valueExpression, isAddr) triples we suppress on. */
-  private def valueCols: Seq[(String, Column, Boolean)] = Seq(
-    ("email_generic", col("email"), false),
-    ("phone_generic", col("phone7"), false),
+  /** The (flagColumn, valueExpression, thresholdKind) triples. */
+  private def valueCols: Seq[(String, Column, String)] = Seq(
+    ("email_generic", col("email"), "id"),
+    ("phone_generic", col("phone7"), "id"),
     ("addr_generic", when(col("addr.house").isNotNull,
-      concat(col("addr.house"), lit(":"), coalesce(col("addr.street"), lit("")))), true),
-    ("ssn_generic", col("ssn"), false),
-    ("passport_generic", col("passport"), false),
-    ("drlic_generic", col("drlic"), false),
-    ("nid_generic", col("national_id"), false))
+      concat(col("addr.house"), lit(":"), coalesce(col("addr.street"), lit("")))), "addr"),
+    ("ssn_generic", col("ssn"), "id"),
+    ("passport_generic", col("passport"), "id"),
+    ("drlic_generic", col("drlic"), "id"),
+    ("nid_generic", col("national_id"), "id"),
+    ("name_generic", when(col("surname").isNotNull,
+      concat(coalesce(get(split(col("given_can"), " "), lit(0)), lit("")),
+        lit(":"), col("surname"))), "name"))
 
   /** Augment the feature table with boolean `*_generic` flags.
     *
@@ -54,8 +64,12 @@ object Generic {
     }: _*)).as("fv"))
       .filter(col("fv.v").isNotNull)
       .select(col("fv.fam").as("fam"), col("fv.v").as("v"))
-    val thresholdOf = typedlit(valueCols.map { case (f, _, isAddr) =>
-      f -> (if (isAddr) cfg.addrThreshold else cfg.threshold)
+    val thresholdOf = typedlit(valueCols.map { case (f, _, kind) =>
+      f -> (kind match {
+        case "addr" => cfg.addrThreshold
+        case "name" => cfg.nameThreshold
+        case _      => cfg.threshold
+      })
     }.toMap)
     val hot: Map[String, Array[String]] = exploded.groupBy("fam", "v").count()
       .filter(col("count") >= element_at(thresholdOf, col("fam")))

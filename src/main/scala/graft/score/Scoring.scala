@@ -39,6 +39,14 @@ object Scoring {
 
   final case class Weights(
       nameStrong: Double = 4.0,
+      /** Strong-name weight when the full canonical name is a corpus
+        * cohort (Generic name_generic flag): name+DOB alone must not
+        * resolve two "John Smith 1980-05-12"s — the coincidence
+        * probability is too high at population scale (measured 55%
+        * false on 400k docs). name+{address,phone,email,id} still
+        * resolves.
+        */
+      nameCommonStrong: Double = 2.5,
       nameGivenOnly: Double = 2.5,
       nameSurnameOnly: Double = 2.5,
       nameDisagree: Double = -4.0,
@@ -75,7 +83,7 @@ object Scoring {
     "org_name", "dob", "phone_digits", "phone7", "email", "ssn", "passport",
     "drlic", "national_id", "addr", "gender",
     "email_generic", "phone_generic", "addr_generic", "ssn_generic",
-    "passport_generic", "drlic_generic", "nid_generic")
+    "passport_generic", "drlic_generic", "nid_generic", "name_generic")
 
   /** -1 = disagree, 0 = not comparable (missing / generic), 1 = agree. */
   private def cmp3(l: Column, r: Column, generic: Column): Column =
@@ -151,6 +159,7 @@ object Scoring {
       least(length(a2("given_raw")), length(b2("given_raw"))).as("min_given_len"),
       (a2("generation").isNotNull && b2("generation").isNotNull &&
         a2("generation") =!= b2("generation")).as("gen_conflict"),
+      (a2("name_generic") || b2("name_generic")).as("name_common"),
       dobCmp.as("dob_cmp"),
       phoneCmp.as("phone_cmp"),
       (a2("email").isNotNull && a2("email") === b2("email") && !a2("email_generic"))
@@ -180,7 +189,8 @@ object Scoring {
     // compensate a conflicting given name (the fixture's Mark/Marsha
     // twins share surname+DOB+address+email and still stay separate).
     val namePts =
-      when(bothFull && gsB >= 0.92 && ssB >= 0.88, w.nameStrong)
+      when(bothFull && gsB >= 0.92 && ssB >= 0.88,
+        when(col("name_common"), w.nameCommonStrong).otherwise(w.nameStrong))
         .when(bothFull && gsB < 0.65 && ssB < 0.65, w.nameDisagree)
         .when(bothFull, 0.0)
         .when(gsB.isNotNull && gsB >= 0.9, w.nameGivenOnly)
@@ -217,8 +227,17 @@ object Scoring {
         .when(gsB.isNotNull && ssB.isNull && gsB >= 0.9, "NAME")
         .when(ssB.isNotNull && gsB.isNull && ssB >= 0.92, "NAME")
 
+    // SAME name (post-normalization exact match of both components) vs
+    // merely CLOSE: Senzing's rule cascade resolves bare name+DOB only
+    // for SAME names (fixture: +NAME+DOB RESOLVED records carry
+    // SNAME_SSTAB, while close-name +NAME+DOB relationships are
+    // CNAME_CSTAB at POSSIBLY_SAME). JW-similar-but-distinct surnames
+    // must not merge on a DOB coincidence.
+    val nameSame = bothFull && gsB >= 0.999 && ssB >= 0.999
+
     val ptsNamed = Seq(
       nameClass.as("name_class"),
+      nameSame.as("name_same"),
       namePts.as("name_pts"), genPts.as("gen_pts"), dobPts.as("dob_pts"),
       phonePts.as("phone_pts"), emailPts.as("email_pts"), ssnPts.as("ssn_pts"),
       passportPts.as("passport_pts"), drlicPts.as("drlic_pts"),
@@ -252,11 +271,18 @@ object Scoring {
       when(col("name_class") === "PNAME", "+PNAME").otherwise(""))
 
     val scored = pts.withColumn("score", score)
+    // bare name+DOB with a merely-CLOSE name: demoted to POSSIBLY_SAME
+    // (Senzing's CNAME_CSTAB) regardless of score — see nameSame above
+    val bareNameDob = col("name_pts") > 0 && col("dob_pts") > 0 &&
+      col("phone_pts") <= 0 && col("email_pts") <= 0 && col("addr_pts") <= 0 &&
+      col("ssn_pts") <= 0 && col("passport_pts") <= 0 &&
+      col("drlic_pts") <= 0 && col("nid_pts") <= 0
     // POSSIBLY_SAME requires FULL-name support (fixture: every
     // POSSIBLY_SAME key carries +NAME; surname/partial-name matches are
     // POSSIBLY_RELATED however they score)
     val level =
-      when(col("score") >= w.thetaResolve, "RESOLVED")
+      when(col("score") >= w.thetaResolve &&
+        (!bareNameDob || col("name_same")), "RESOLVED")
         .when(col("score") >= w.thetaPossible && col("name_class") === "NAME",
           "POSSIBLY_SAME")
         .when(col("email_pts") > 0 || col("phone_pts") > 0 || col("addr_pts") > 0 ||

@@ -50,6 +50,30 @@ class IncrementalResolveSpec extends AnyFunSuite {
     assert(assignMap(r2.assignments) == assignMap(r1.assignments))
   }
 
+  test("changed-content redelivery is an UPSERT: new spans take effect") {
+    import graft.model.Span
+    val tmp = java.nio.file.Files.createTempDirectory("incstore4").toString
+    val store = new SnapshotStore(tmp)
+    def doc(id: String, last: String, phone: String) = Doc(id, Seq(
+      Span("data_source", "T", null, 0), Span("record_id", id, null, 1),
+      Span("name_first", "ALEX", null, 2), Span("name_last", last, null, 3),
+      Span("phone_number", phone, null, 4)))
+    // batch 1: A and B share nothing → two entities
+    val r1 = IncrementalResolve.processBatch(spark, store,
+      Seq(doc("T:A", "ZWIRN", "555-111-2222"), doc("T:B", "QUARLE", "555-999-8888")).toDF())
+    assert(r1.assignments.select("entity_id").distinct().count() == 2)
+    // batch 2: B REDELIVERED with changed content matching A → must merge
+    val r2 = IncrementalResolve.processBatch(spark, store,
+      Seq(doc("T:B", "ZWIRN", "555-111-2222")).toDF())
+    assert(r2.newDocs == 1, "changed content must count as new, not duplicate")
+    assert(r2.assignments.select("entity_id").distinct().count() == 1,
+      "updated record must re-resolve against the corpus")
+    // and the stored doc carries the NEW spans
+    val storedB = store.read(spark, "docs").filter($"doc_id" === "T:B")
+      .selectExpr("filter(spans, s -> s.kind = 'name_last')[0].text").head().getString(0)
+    assert(storedB == "ZWIRN")
+  }
+
   test("structured streaming end-to-end via MemoryStream + foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val docs = DocCorpus.fromFlatJsonl(spark, FixtureEval.CustomersPath).collect().toSeq
