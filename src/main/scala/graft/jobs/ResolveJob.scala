@@ -33,6 +33,13 @@ object ResolveJob {
       generic: Generic.Config = Generic.Config(),
       checkpointDir: Option[String] = None,
       numberEntities: Boolean = true,
+      /** Force the scoring join strategy: Some(true) broadcasts the
+        * feature table (fastest at low parallelism; the shared hash
+        * relation ANTI-scales past ~8 probe threads), Some(false)
+        * forces the sort-merge path (the only option at 10^12 docs).
+        * None = auto by corpus size.
+        */
+      broadcastFeatures: Option[Boolean] = None,
       /** When set, every stage output is committed as an atomic
         * snapshot (Iceberg semantics, graft.io.SnapshotStore) together
         * with per-partition lineage rows, and `run` RESUMES from the
@@ -119,7 +126,8 @@ object ResolveJob {
     val rawEdges = graft.util.Confs.withConfs(spark)(
       "spark.sql.codegen.wholeStage" -> "false") {
       stage("edges_raw") {
-        Scoring.scorePairs(pairs, feats, cfg.weights, broadcastFeatures = nDocs < 3000000)
+        Scoring.scorePairs(pairs, feats, cfg.weights,
+          broadcastFeatures = cfg.broadcastFeatures.getOrElse(nDocs < 3000000))
       }
     }
     // ambiguous-match suppression (Senzing semantics): conflicting

@@ -37,13 +37,24 @@ object ScaleEval {
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SCALE_EVAL_ENTITIES", "200000").toLong
+    val cores = sys.env.getOrElse("SCALE_EVAL_CORES", "16").toInt
     val suppress = !sys.env.contains("SCALE_EVAL_NO_AMBIGUITY")
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    if (!sys.env.contains("SCALE_EVAL_NO_WARMUP")) {
+      // populate the JVM-wide generated-code cache (driver-serial janino
+      // compilation would otherwise pollute the stage timings)
+      val t0 = System.nanoTime()
+      graft.jobs.ResolveJob.run(spark,
+        DocCorpus.synthetic(spark, 2000, seed = 7L).toDF(),
+        graft.jobs.ResolveJob.Config(numberEntities = false))
+        .entities.write.mode("overwrite").format("noop").save()
+      println(f"[stage] warmup            ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    }
 
     val gcfg = Generic.Config(
       nameThreshold = sys.env.getOrElse("SCALE_EVAL_NAMETHRESH", "8").toInt)
@@ -61,7 +72,9 @@ object ScaleEval {
     println(s"  pairs: ${pairs.count()}")
     val rawEdges = timed("scoring") {
       graft.util.Confs.withConfs(spark)("spark.sql.codegen.wholeStage" -> "false") {
-        Scoring.scorePairs(pairs, feats, broadcastFeatures = true).localCheckpoint(true)
+        Scoring.scorePairs(pairs, feats,
+          broadcastFeatures = !sys.env.contains("SCALE_EVAL_NO_BCAST"))
+          .localCheckpoint(true)
       }
     }
     println(s"  edges: ${rawEdges.count()} resolved: ${rawEdges.filter(col("level") === "RESOLVED").count()}")
