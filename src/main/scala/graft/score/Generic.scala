@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   * `bsmith@work.com` and `sthomp45@fmail.com` do resolve — so the
   * default doc-count threshold here is 4.
   *
-  * Scale design: per-feature hot-value sets are tiny Zipf heads →
-  * computed with a map-side-combined groupBy and broadcast back; the
-  * feature table is never reshuffled.
+  * Scale design: per-feature hot-value sets are Zipf HEADS relative to
+  * the corpus but grow linearly in absolute size (at 10^10 docs, every
+  * name shared by ≥7 docs is millions of strings) — so they are NEVER
+  * collected to the driver. One exploded aggregate computes every
+  * family's hot set in a single scan; the materialized hot frame is
+  * joined back per family. The join side is broadcast while the hot
+  * count (observed on the materialization job — no extra action) stays
+  * under [[Config.maxBroadcastHot]]; past that it degrades to a
+  * shuffle join, which is the only shape that exists at 10^12 docs.
   */
 object Generic {
 
@@ -29,9 +35,14 @@ object Generic {
     * match/coincidence probability, and a common name's coincidence
     * probability is high; measured on the 400k synthetic corpus, bare
     * name+DOB pairs inside such cohorts are ~55% false).
+    *
+    * `maxBroadcastHot`: total hot values (all families) up to which the
+    * flag joins use a broadcast build side; beyond it they fall back to
+    * shuffle joins. ~5M short strings ≈ low hundreds of MB broadcast —
+    * the practical executor-memory boundary.
     */
   final case class Config(threshold: Int = 4, addrThreshold: Int = 8,
-      nameThreshold: Int = 7)
+      nameThreshold: Int = 7, maxBroadcastHot: Long = 5000000L)
 
   /** The (flagColumn, valueExpression, thresholdKind) triples. */
   private def valueCols: Seq[(String, Column, String)] = Seq(
@@ -47,17 +58,13 @@ object Generic {
       concat(coalesce(get(split(col("given_can"), " "), lit(0)), lit("")),
         lit(":"), col("surname"))), "name"))
 
-  /** Augment the feature table with boolean `*_generic` flags.
-    *
-    * One exploded aggregate computes every family's hot set in a single
-    * scan of the feature table (vs one scan per family). The hot sets
-    * are Zipf HEADS by design (values shared by ≥threshold docs) — tiny
-    * relative to the corpus — so they are collected once to the driver
-    * and inlined as literal set-membership predicates: one codegen'd
-    * Project, no per-family broadcast joins, and no persisted RDD left
-    * behind (round-1 leaked one cached frame per streaming micro-batch).
+  /** Compute the per-family hot-value frame `(fam, v)` — one exploded
+    * scan of the feature table, map-side-combined aggregate, eagerly
+    * materialized (so each per-family flag join reuses it instead of
+    * re-aggregating). Returns the frame plus its observed row count
+    * (rides the materialization job; no extra action).
     */
-  def withGenericFlags(features: DataFrame, cfg: Config = Config()): DataFrame = {
+  def hotValues(features: DataFrame, cfg: Config = Config()): (DataFrame, Long) = {
     val exploded = features.select(explode(array(valueCols.map {
       case (flagName, valueCol, _) =>
         struct(lit(flagName).as("fam"), valueCol.as("v"))
@@ -71,16 +78,32 @@ object Generic {
         case _      => cfg.threshold
       })
     }.toMap)
-    val hot: Map[String, Array[String]] = exploded.groupBy("fam", "v").count()
+    val obs = org.apache.spark.sql.Observation(
+      s"generic_hot_${java.util.UUID.randomUUID}")
+    val hot = exploded.groupBy("fam", "v").count()
       .filter(col("count") >= element_at(thresholdOf, col("fam")))
       .select("fam", "v")
-      .collect()
-      .groupBy(_.getString(0))
-      .view.mapValues(_.map(_.getString(1))).toMap
-    features.select(col("*") +: valueCols.map { case (flagName, valueCol, _) =>
-      val hotVals = hot.getOrElse(flagName, Array.empty[String])
-      (if (hotVals.isEmpty) lit(false)
-       else valueCol.isin(hotVals.toSeq: _*) <=> lit(true)).as(flagName)
-    }: _*)
+      .observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    (hot, obs.get("n").asInstanceOf[Long])
+  }
+
+  /** Augment the feature table with boolean `*_generic` flags: one
+    * equi-join per family against the shared hot frame (distinct keys —
+    * no row multiplication; null values never match — flag false).
+    * No driver-side value set ever exists (round-2 collected + inlined
+    * the hot sets as literal isin predicates — linear driver growth and
+    * the janino giant-In failure mode at corpus scale).
+    */
+  def withGenericFlags(features: DataFrame, cfg: Config = Config()): DataFrame = {
+    val (hot, nHot) = hotValues(features, cfg)
+    valueCols.foldLeft(features) { case (df, (flagName, valueCol, _)) =>
+      val side = hot.filter(col("fam") === flagName)
+        .select(col("v").as(s"_hv_$flagName"))
+      val build = if (nHot <= cfg.maxBroadcastHot) broadcast(side) else side
+      df.join(build, valueCol === col(s"_hv_$flagName"), "left")
+        .withColumn(flagName, col(s"_hv_$flagName").isNotNull)
+        .drop(s"_hv_$flagName")
+    }
   }
 }

@@ -59,6 +59,25 @@ class PlanSpec extends AnyFunSuite {
       plan.linesIterator.filter(_.contains("SinglePartition")).mkString("\n"))
   }
 
+  test("generic flags are joins against the hot frame — no driver-collected literal sets") {
+    import graft.normalize.Normalize
+    import graft.score.Generic
+    import graft.sources.DocCorpus
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val docs = DocCorpus.synthetic(spark, 300).toDF().localCheckpoint(true)
+    val flagged = Generic.withGenericFlags(Normalize.features(docs).localCheckpoint(true))
+    var maxIn = 0
+    flagged.queryExecution.optimizedPlan.foreach(node =>
+      node.expressions.foreach(_.foreach {
+        case i: In    => maxIn = math.max(maxIn, i.list.size)
+        case i: InSet => maxIn = math.max(maxIn, i.hset.size)
+        case _        =>
+      }))
+    assert(maxIn <= 32, s"flags projection contains a literal In set of $maxIn elements")
+    val phys = flagged.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys.take(1500))
+  }
+
   test("hot-key suppression join is a broadcast anti-join") {
     import graft.blocking.Blocking
     import graft.normalize.Normalize
