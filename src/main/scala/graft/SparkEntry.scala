@@ -248,9 +248,21 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.minhashNearDupPairs(t(dir, "documents"), threshold = 0.5)
     }),
+    // Oracle-checkable banding twin: md5 minhash, every step ANSI-SQL —
+    // DuckDB reproduces banding AND verify exactly (the kernel variant
+    // stays the scale path; this one pins the semantics). Deterministic
+    // doc subset bounds its cost at larger sf.
+    "dd_minhash_verify" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.minhashNearDupPairsPortable(
+        t(dir, "documents").filter(col("doc_id") < 1000),
+        bands = 2, rows = 8, threshold = 0.9)
+    }),
     "dd_simhash_pairs" -> ((s, dir) => { // custom kernel — rows-only
       implicit val sp: SparkSession = s
-      Dedup.simhashNearDupPairs(t(dir, "documents"), maxHamming = 8)
+      // maxHamming = 3 → 4 slices: recall GUARANTEED ≤ 3 flips
+      // (round 2 filtered at 8 over 4 slices — silent recall hole)
+      Dedup.simhashNearDupPairs(t(dir, "documents"), maxHamming = 3)
     }),
     "dd_embed_near" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -410,6 +422,33 @@ object SparkEntry {
            ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
              len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5""",
+    "dd_minhash_verify" ->
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS sh
+           FROM documents WHERE doc_id < 1000
+         ), tok AS (
+           SELECT doc_id, unnest(sh) AS t FROM d
+         ), hashed AS (
+           SELECT doc_id, s.seed, md5(s.seed::VARCHAR || ':' || t) AS h
+           FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+         ), minh AS (
+           SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed
+         ), banded AS (
+           SELECT doc_id,
+             (seed // 8)::VARCHAR || ':' || string_agg(mh, '|' ORDER BY seed) AS band
+           FROM minh GROUP BY doc_id, (seed // 8)
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+         )
+         SELECT doc_a, doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         FROM cand JOIN d a ON a.doc_id = doc_a JOIN d b ON b.doc_id = doc_b
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9""",
     "dd_embed_near" ->
       """WITH base AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -9,9 +9,86 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: every variant is a groupBy/join on a compact derived
   * key (hash, band, bucket) — no all-pairs stage ever materializes
-  * outside a bounded block. Keys are computed in whole-stage codegen.
+  * outside a BOUNDED block: every candidate self-join goes through
+  * [[Dedup.boundedSelfJoinPairs]], which applies the same three-tier
+  * discipline as graft.blocking.Blocking (cold keys join plainly; hot
+  * keys are salted one-sided so a hot block's quadratic work spreads
+  * over `salts` tasks with NO pair loss; mega keys — the 10M-doc
+  * boilerplate cluster sharing one band, exactly what 100 TB dedup
+  * exists to find — are deterministically down-sampled to ~megaCap
+  * members and the decision is logged). Keys are computed in
+  * whole-stage codegen; only ids move through candidate shuffles.
   */
 object Dedup {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Tier bounds for candidate self-joins. `megaCap` defaults high
+    * enough that ordinary corpora never lose a pair; it exists so one
+    * degenerate block cannot go quadratic (cap the pair count at
+    * ~megaCap²/2 per key). Down-sampling is hash-mod on the id —
+    * deterministic across runs and parallelism levels.
+    */
+  final case class BlockBounds(maxBlockSize: Int = 64, megaCap: Int = 4096,
+      salts: Int = 8)
+
+  /** Self-join `keyed` on `keyCols`, emitting distinct id pairs
+    * (a < b) with the three-tier bounded-block discipline (object
+    * doc). `keyed` must have one row per (key, id); ids only —
+    * callers re-join payloads (texts, shingles, vectors) AFTER the
+    * pair set is deduplicated.
+    */
+  def boundedSelfJoinPairs(
+      keyed: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      bounds: BlockBounds = BlockBounds()): DataFrame = {
+    val k = keyed.select(struct(keyCols.map(col): _*).as("_k"), col(idCol).as("_id"))
+
+    // Zipf head only — tiny by construction, broadcast to both tiers.
+    // Materialized eagerly so the mega down-sampling decision can be
+    // surfaced (never silent) and the frame is built once, not once
+    // per consuming join.
+    val hot0 = k.groupBy("_k").count().filter(col("count") > bounds.maxBlockSize)
+      .withColumn("keep_mod",
+        when(col("count") > bounds.megaCap,
+          ceil(col("count").cast("double") / bounds.megaCap).cast("long")))
+      .select("_k", "keep_mod", "count")
+      .localCheckpoint(true)
+    val mega = hot0.filter(col("keep_mod").isNotNull)
+      .agg(count(lit(1)).as("n"), sum("count").as("members")).head()
+    if (mega.getLong(0) > 0)
+      log.warn(s"boundedSelfJoinPairs: ${mega.getLong(0)} mega block(s) " +
+        s"totalling ${mega.getLong(1)} members down-sampled to ~${bounds.megaCap} " +
+        "members each (deterministic hash-mod)")
+    val hot = hot0.select("_k", "keep_mod")
+
+    val cold = k.join(broadcast(hot), Seq("_k"), "left_anti")
+    val coldPairs = cold.select(col("_k"), col("_id").as("doc_a"))
+      .join(cold.select(col("_k"), col("_id").as("doc_b")), Seq("_k"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+
+    // hot tier: mega keys down-sampled, then a one-sided salted
+    // self-join — left row lands in ONE salt bucket, right row is
+    // replicated to ALL buckets, so every pair appears exactly once
+    // while the per-key work spreads over `salts` tasks.
+    val hotRows = k.join(broadcast(hot), Seq("_k"))
+      .filter(col("keep_mod").isNull ||
+        pmod(xxhash64(col("_id")), col("keep_mod")) === 0)
+      .select("_k", "_id")
+    val hl = hotRows.select(col("_k"),
+      pmod(xxhash64(col("_id")), lit(bounds.salts.toLong)).as("_salt"),
+      col("_id").as("doc_a"))
+    val hr = hotRows.select(col("_k"),
+      explode(typedlit((0L until bounds.salts.toLong).toArray)).as("_salt"),
+      col("_id").as("doc_b"))
+    val hotPairs = hl.join(hr, Seq("_k", "_salt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+
+    coldPairs.unionAll(hotPairs).distinct()
+  }
 
   /** Exact dedup by content hash (after whitespace/case normalization):
     * each doc labeled with its content group's canonical (min) doc_id.
@@ -113,19 +190,64 @@ object Dedup {
       shingleChars: Int = 5,
       bands: Int = 8,
       rows: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      bounds: BlockBounds = BlockBounds()): DataFrame = {
     // ids ONLY through the band shuffle — round 1 carried both full
     // document texts ×bands×2 sides and ran distinct() over them; at
     // 100 TB that shuffles the corpus 16×. Texts re-join exactly once,
-    // after the candidate pair set is deduplicated.
+    // after the candidate pair set is deduplicated. Band blocks are
+    // BOUNDED (three-tier; object doc) — a boilerplate cluster sharing
+    // a band cannot go quadratic in one task.
     val keyed = docs.select(col("doc_id"),
       explode(GraftFunctions.minhash_band_keys(
         lower(col("text")), shingleChars, bands, rows)).as("band"))
-    val cand = keyed.select(col("band"), col("doc_id").as("doc_a"))
-      .join(keyed.select(col("band"), col("doc_id").as("doc_b")), Seq("band"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = boundedSelfJoinPairs(keyed, Seq("band"), "doc_id", bounds)
     val sets = docs.select(col("doc_id"), wordShingles(col("text"), 1).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Oracle-checkable MinHash-LSH twin of [[minhashNearDupPairs]]:
+    * identical banding semantics, but the hash is md5 over
+    * `"<seed>:<token>"` with the per-seed minimum taken LEXICOGRAPHICALLY
+    * over the hex digests — every step (tokenize, hash, min, band-key
+    * concat, band self-join, exact-Jaccard verify) is expressible in
+    * ANSI SQL, so an independent engine reproduces the EXACT emitted
+    * pair set, banding included (the fast kernel variant's xxhash
+    * banding is not portable and was verifiable only by planted-pair
+    * tests). Soundness of every emitted pair (jaccard ≥ threshold) and
+    * banding recall are both pinned by the cross-engine hash compare.
+    * Word-unigram shingles; `bands × rows` md5 evaluations per token —
+    * heavier per byte than the kernel variant, same join shape.
+    */
+  def minhashNearDupPairsPortable(
+      docs: DataFrame,
+      bands: Int = 4,
+      rows: Int = 4,
+      threshold: Double = 0.5,
+      bounds: BlockBounds = BlockBounds()): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      wordShingles(lower(trim(col("text"))), 1).as("sh"))
+    val toks = sets.select(col("doc_id"), explode(col("sh")).as("t"))
+    val hashed = toks
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(bands * rows - 1))).as("seed"), col("t"))
+      .select(col("doc_id"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit(":"), col("t"))).as("h"))
+    val minh = hashed.groupBy("doc_id", "seed").agg(min("h").as("mh"))
+    val banded = minh
+      .groupBy(col("doc_id"), (col("seed") / lit(rows)).cast("int").as("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seed"), col("mh")))),
+        v => v.getField("mh")), "|").as("bandkey"))
+      .select(col("doc_id"),
+        concat(col("band").cast("string"), lit(":"), col("bandkey")).as("band"))
+    val cand = boundedSelfJoinPairs(banded, Seq("band"), "doc_id", bounds)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -144,22 +266,43 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"))
 
-  /** SimHash near-dup candidate pairs: docs sharing any 16-bit slice of
-    * the fingerprint are candidates; verified by hamming distance ≤ k.
+  /** SimHash near-dup pairs with a RECALL GUARANTEE: the 64-bit
+    * fingerprint is cut into `maxHamming + 1` slices, so by pigeonhole
+    * any pair within `maxHamming` differing bits shares at least one
+    * untouched slice — zero candidate misses (round 2 bucketed on four
+    * 16-bit slices but defaulted maxHamming = 8, silently missing
+    * pairs whose 4–8 differing bits spread across all four slices).
+    * The tradeoff is explicit: larger maxHamming → narrower slices →
+    * bigger blocks (bounded by the three-tier join). Verified by exact
+    * hamming distance ≤ maxHamming.
     */
-  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val fp = simhash(docs)
-    val sliced = fp.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        concat(lit(s"$i:"), shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL))): _*))
-        .as("slice"))
-    val l = sliced.select(col("slice"), col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
-    val r = sliced.select(col("slice"), col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
-    l.join(r, Seq("slice"))
-      .filter(col("doc_a") < col("doc_b"))
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      bounds: BlockBounds = BlockBounds()): DataFrame =
+    simhashPairsFromFingerprints(simhash(docs), maxHamming, bounds)
+
+  /** Slice-and-verify over a precomputed `(doc_id, simhash)` frame —
+    * split out so adversarial bit patterns are testable directly.
+    */
+  def simhashPairsFromFingerprints(fp: DataFrame, maxHamming: Int = 3,
+      bounds: BlockBounds = BlockBounds()): DataFrame = {
+    val slices = maxHamming + 1 // pigeonhole: ≤ maxHamming flips leave one slice intact
+    require(slices >= 1 && slices <= 64, s"maxHamming $maxHamming out of range")
+    // distribute 64 bits: the first (64 % slices) slices get one extra bit
+    val base = 64 / slices
+    val widths = (0 until slices).map(i => if (i < 64 % slices) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sliceExprs = (0 until slices).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      concat(lit(s"$i:"), shiftright(col("simhash"), offsets(i)).bitwiseAND(mask))
+    }
+    val sliced = fp.select(col("doc_id"), explode(array(sliceExprs: _*)).as("slice"))
+    val cand = boundedSelfJoinPairs(sliced, Seq("slice"), "doc_id", bounds)
+    val fps = fp.select(col("doc_id"), col("simhash"))
+    cand
+      .join(fps.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -178,15 +321,13 @@ object Dedup {
       tables: Int = 6,
       planes: Int = 8,
       threshold: Double = 0.95,
-      quantized: Boolean = false): DataFrame = {
+      quantized: Boolean = false,
+      bounds: BlockBounds = BlockBounds()): DataFrame = {
     val bucketed = embeddings.select(col("vec_id"),
       posexplode(Similarity.hyperplaneBuckets(col("embedding"), tables, planes)))
       .toDF("vec_id", "tbl", "bucket")
-    val cand = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
-      .join(bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
-        Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = boundedSelfJoinPairs(bucketed, Seq("tbl", "bucket"), "vec_id", bounds)
+      .toDF("id_a", "id_b")
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
     val cos =
       if (quantized) Similarity.cosineQuantized(col("e_a"), col("e_b"))
@@ -197,4 +338,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Hyperplane count sized to the corpus: expected bucket occupancy
+    * n / 2^planes ≈ `targetPerBucket`. The 8-plane default of
+    * [[embeddingNearDupPairs]] (256 buckets/table) is sized for ~10^5
+    * vectors; at 10^11 vectors pass ~`planesFor(n)` ≈ 28 planes or
+    * every bucket is a mega block and the candidate join degrades to
+    * the down-sampled tier.
+    */
+  def planesFor(n: Long, targetPerBucket: Int = 256): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt)
 }

@@ -41,6 +41,53 @@ class OpsSpec extends AnyFunSuite {
       col("doc_b") === origId + 2000000).count() == 1)
   }
 
+  test("simhash slicing guarantees recall up to maxHamming (pigeonhole)") {
+    // adversarial pair: 8 differing bits, one in each 8-bit region —
+    // round-2's four 16-bit slices are ALL touched (pair invisible to
+    // that scheme); the maxHamming+1 = 9-slice scheme must find it
+    val a = 0L
+    val b = (0 until 8).map(i => 1L << (i * 8)).reduce(_ | _)
+    assert(java.lang.Long.bitCount(a ^ b) == 8)
+    val fp = Seq((1L, a), (2L, b)).toDF("doc_id", "simhash")
+    assert(Dedup.simhashPairsFromFingerprints(fp, maxHamming = 8).count() == 1)
+    // randomized spreads at the default maxHamming = 3: every planted
+    // pair (any 3 bit positions flipped) must be recalled
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).flatMap { i =>
+      val base = rnd.nextLong()
+      val other = rnd.shuffle((0 until 64).toList).take(3)
+        .foldLeft(base)((v, bit) => v ^ (1L << bit))
+      Seq((i * 2L + 10, base), (i * 2L + 11, other))
+    }.toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsFromFingerprints(rows, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    (0 until 50).foreach { i =>
+      assert(pairs.contains((i * 2L + 10, i * 2L + 11)), s"planted pair $i missed")
+    }
+  }
+
+  test("mega band blocks are down-sampled deterministically, never quadratic") {
+    // 5,000-member boilerplate cluster: every band key is shared by all
+    // docs → without the mega tier this is ~12.5M pairs in one task
+    val boiler = (0 until 5000)
+      .map(i => (i.toLong, "identical boilerplate text shared by every document in this cluster"))
+      .toDF("doc_id", "text")
+    val bounds = Dedup.BlockBounds(maxBlockSize = 64, megaCap = 128, salts = 4)
+    val pairs = Dedup.minhashNearDupPairs(boiler, threshold = 0.9, bounds = bounds)
+    val n = pairs.count()
+    // retained members ≈ megaCap → pairs ≈ megaCap²/2, not n²/2
+    assert(n > 0, "down-sampling must keep pairs among retained members")
+    assert(n < 170L * 170L / 2 * 2, s"mega block not bounded: $n pairs")
+    // determinism across runs
+    assert(Dedup.minhashNearDupPairs(boiler, threshold = 0.9, bounds = bounds).count() == n)
+  }
+
+  test("planesFor scales hyperplane count with corpus size") {
+    assert(Dedup.planesFor(100000L) >= 8)
+    assert(Dedup.planesFor(100000000000L) >= 26)
+    assert(Dedup.planesFor(10L) == 4)
+  }
+
   test("simhash: identical text → identical fingerprint; near text → small hamming") {
     val twoDocs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
