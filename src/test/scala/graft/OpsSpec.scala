@@ -125,17 +125,30 @@ class OpsSpec extends AnyFunSuite {
     assert(topk == expected)
   }
 
-  test("LSH ANN: same output shape; bucket-restricted recall > 0 on random vectors") {
-    val probes = 0L until 10L
-    val bf = Similarity.bruteForceTopK(embeddings, probes, k = 5)
+  test("LSH ANN recall@5 >= 0.9 vs brute force on planted neighbors (default params)") {
+    // five planted near-copies per probe: the brute-force top-5 is the
+    // planted set (cos ≈ 0.999 vs ~0.45 background), so recall@5 of the
+    // DEFAULT-parameter LSH against brute force is a real gate — the
+    // old test only asserted recall > 0 at planes = 2
+    val probes = Seq(0L, 1L, 2L)
+    val srcs = probes.toDF("src")
+      .join(embeddings.withColumnRenamed("vec_id", "src"), "src")
+    val planted = srcs
+      .crossJoin(spark.range(5).toDF("j"))
+      .withColumn("pert", transform(col("embedding"),
+        (x, i) => (x.cast("double") +
+          (pmod(col("j") * 7 + i, lit(5)) - 2) / lit(1000.0)).cast("float")))
+      .select((lit(5000000L) + col("src") * 10 + col("j")).as("vec_id"),
+        col("pert").as("embedding"))
+    val all = embeddings.select("vec_id", "embedding").unionByName(planted)
+      .localCheckpoint(true)
+    val bf = Similarity.bruteForceTopK(all, probes, k = 5)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lshDf = Similarity.lshTopK(embeddings, probes, k = 5, planes = 2)
+    val lshDf = Similarity.lshTopK(all, probes, k = 5) // default planes/tables
     val lsh = lshDf.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    // these embeddings are near-random (max cos ≈ 0.45), so hyperplane
-    // buckets split true neighbors aggressively; require non-trivial
-    // overlap rather than high recall
     val recall = (bf & lsh).size.toDouble / bf.size
-    assert(recall > 0.0, s"LSH recall $recall")
+    assert(bf.size == 15, s"brute-force baseline unexpected: ${bf.size}")
+    assert(recall >= 0.9, s"LSH recall@5 $recall < 0.9")
     assert(lshDf.groupBy("probe_id").count().filter(col("count") > 5).count() == 0)
   }
 
