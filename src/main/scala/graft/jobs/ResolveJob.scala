@@ -79,16 +79,22 @@ object ResolveJob {
     /** Materialize a stage: resume from the store when a committed
       * snapshot exists; otherwise compute, commit (with per-partition
       * lineage), or localCheckpoint when no store is configured. Row
-      * counts ride the materialization job as OBSERVED metrics
-      * (Dataset.observe) — the job's counters cost no extra actions.
+      * counts — plus any caller-supplied extra aggregates — ride the
+      * materialization job as OBSERVED metrics (Dataset.observe), so
+      * the job's counters cost no extra actions.
       */
-    def stage(name: String)(build: => DataFrame): DataFrame = {
+    def stage(name: String, extras: (String, org.apache.spark.sql.Column)*)
+        (build: => DataFrame): DataFrame = {
       // UUID suffix: concurrent runs must not cross-match metrics by name
       val obs = org.apache.spark.sql.Observation(
         s"stage_${name}_${java.util.UUID.randomUUID}")
       def observedCheckpoint(df: DataFrame): DataFrame = {
-        val out = df.observe(obs, count(lit(1)).as("rows")).localCheckpoint(true)
-        stageRows(name) = obs.get("rows").asInstanceOf[Long]
+        val aggs = count(lit(1)).as("rows") +: extras.map { case (k, c) => c.as(k) }
+        val out = df.observe(obs, aggs.head, aggs.tail: _*).localCheckpoint(true)
+        val row = obs.get
+        stageRows(name) = row("rows").asInstanceOf[Long]
+        extras.foreach { case (k, _) =>
+          stageRows(s"$name.$k") = row(k).asInstanceOf[Long] }
         out
       }
       store match {
@@ -108,7 +114,12 @@ object ResolveJob {
       }
     }
 
-    val docsSnap = stage("docs")(docs)
+    // The docs frame is materialized only when a snapshot store is
+    // configured (resumability): Spark sources are re-scannable by
+    // contract, and the two consumers (normalize, assembly's span
+    // join) each prune to the columns they need — a third full
+    // materialization pass buys nothing without resume.
+    val docsSnap = store.fold(docs)(_ => stage("docs")(docs))
     val featsRaw = stage("features_raw")(Normalize.features(docsSnap))
     val feats = stage("features")(Generic.withGenericFlags(featsRaw, cfg.generic))
 
@@ -121,20 +132,35 @@ object ResolveJob {
     // deferred column extractions at every use site (>64 KB method →
     // janino failure → interpreted eval). Per-operator codegen splits
     // methods fine and compiles. The stage is materialized eagerly
-    // inside this conf window.
+    // inside this conf window. The RESOLVED tally rides the same
+    // observation (used directly when suppression fires nothing).
     val nDocs = stageRows("features")
     val rawEdges = graft.util.Confs.withConfs(spark)(
       "spark.sql.codegen.wholeStage" -> "false") {
-      stage("edges_raw") {
+      stage("edges_raw",
+        "resolved" -> count(when(col("level") === "RESOLVED", 1))) {
         Scoring.scorePairs(pairs, feats, cfg.weights,
           broadcastFeatures = cfg.broadcastFeatures.getOrElse(nDocs < 3000000))
       }
     }
     // ambiguous-match suppression (Senzing semantics): conflicting
-    // comparable claims never merge — see graft.score.Ambiguity
-    val amb = Ambiguity.suppress(rawEdges, feats)
-    val edges = stage("edges")(amb.edges)
-    val ambDocs = stage("ambiguous_docs")(amb.ambiguousDocs)
+    // comparable claims never merge — see graft.score.Ambiguity.
+    // LAZY: a resumed run with committed edges/ambiguous_docs snapshots
+    // never evaluates the suppression fixpoint at all.
+    lazy val amb = Ambiguity.suppress(rawEdges, feats)
+    val (edges, ambDocs, nResolved) =
+      if (store.isEmpty && amb.firedCount == 0) {
+        // nothing fired: the suppressed frame IS the raw frame plus a
+        // constant column — skip the second materialization entirely
+        stageRows("edges") = stageRows("edges_raw")
+        stageRows("ambiguous_docs") = 0L
+        (amb.edges, amb.ambiguousDocs, stageRows("edges_raw.resolved"))
+      } else {
+        val e = stage("edges", // on resume: amb never forced
+          "resolved" -> count(when(col("level") === "RESOLVED", 1)))(amb.edges)
+        val a = stage("ambiguous_docs")(amb.ambiguousDocs)
+        (e, a, stageRows("edges.resolved"))
+      }
 
     val resolved = edges.filter(col("level") === "RESOLVED")
     var ccStats = ConnectedComponents.Stats(0, Seq.empty)
@@ -152,7 +178,7 @@ object ResolveJob {
       "docs" -> nDocs,
       "pairs_generated" -> stageRows("pairs"),
       "pairs_scored" -> stageRows("edges"),
-      "edges_resolved" -> resolved.count(), // filtered — cheap checkpointed scan
+      "edges_resolved" -> nResolved,
       "ambiguous_docs" -> stageRows("ambiguous_docs"),
       "cc_iterations" -> ccStats.iterations.toLong)
 

@@ -35,7 +35,8 @@ object Ambiguity {
 
   private val ExclusiveIds = Seq("ssn", "passport", "drlic", "national_id")
 
-  final case class Result(edges: DataFrame, ambiguousDocs: DataFrame)
+  final case class Result(edges: DataFrame, ambiguousDocs: DataFrame,
+      firedCount: Long)
 
   def suppress(edges: DataFrame, features: DataFrame): Result = {
     val strong = edges
@@ -65,15 +66,32 @@ object Ambiguity {
       when(col(s"fu.$c").isNotNull && col(s"fv.$c").isNotNull &&
         col(s"fu.$c") =!= col(s"fv.$c"), c.toUpperCase): org.apache.spark.sql.Column)
       .reduce(coalesce(_, _))
-    val fired0 = tri
+    // fired-triple count rides each materialization as an observed
+    // metric — the fixpoint below costs ONE job per round, and the
+    // (common) zero-conflict corpus exits after the first job with the
+    // edge frame untouched.
+    def observedCheckpoint(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(
+        s"amb_fired_${java.util.UUID.randomUUID}")
+      val out = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    val (fired0, nFired0) = observedCheckpoint(tri
       .join(ids.as("fu"), col("u") === col("fu.doc_id"))
       .join(ids.as("fv"), col("v") === col("fv.doc_id"))
       .filter(conflictExpr)
       .join(bestResolved, Seq("v"), "left")
       // exemption: d's resolved claim outranks v's best resolved claim
       .filter(col("v_best").isNotNull && col("v_best") >= col("s_u"))
-      .select(col("d"), col("u"), col("v"), conflictType.as("conflict_type"))
-      .localCheckpoint(true)
+      .select(col("d"), col("u"), col("v"), conflictType.as("conflict_type")))
+
+    if (nFired0 == 0) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return Result(
+        edges.withColumn("is_ambiguous", lit(false)),
+        Seq.empty[(String, String)].toDF("doc_id", "conflict_desc"), 0L)
+    }
 
     // Sequential-order emulation: in the reference, a record that is
     // ALREADY ambiguous no longer blocks later records' merges (the
@@ -84,16 +102,18 @@ object Ambiguity {
     // reach the fixpoint on anything non-adversarial (frames here are
     // the sparse conflict set — trivially small next to the edge set).
     var fired = fired0
+    var nFired = nFired0
     var prev = -1L
     var iters = 0
-    while (iters < 4 && fired.count() != prev) {
-      prev = fired.count()
+    while (iters < 4 && nFired != prev) {
+      prev = nFired
       val amb = fired.select(col("d").as("v")).distinct()
         .withColumn("_vamb", lit(true))
-      fired = fired0.join(amb, Seq("v"), "left")
+      val (next, n) = observedCheckpoint(fired0.join(amb, Seq("v"), "left")
         .filter(!(coalesce(col("_vamb"), lit(false)) && col("v") < col("d")))
-        .drop("_vamb")
-        .localCheckpoint(true)
+        .drop("_vamb"))
+      fired = next
+      nFired = n
       iters += 1
     }
 
@@ -118,6 +138,6 @@ object Ambiguity {
         when(col("is_ambiguous") && col("level") === "RESOLVED", "POSSIBLY_SAME")
           .otherwise(col("level")))
       .drop("_amb")
-    Result(out, ambDocs)
+    Result(out, ambDocs, nFired)
   }
 }
