@@ -80,16 +80,57 @@ object Assemble {
     ), e => e.isNotNull)
   }
 
-  /** Best incoming RESOLVED edge per doc → (doc_id, match_key).
-    * The cluster seed (min doc_id = entity_id) reports an empty
-    * MATCH_KEY like the reference's first record of each entity.
+  /** Match-key term order as the reference renders it (name term
+    * first, PNAME last — flow-output.jsonl keys like
+    * `+NAME+DOB+PHONE+EMAIL`, `+DOB+ADDRESS+EMAIL+PNAME`).
+    */
+  private val KeyMidOrder = Seq("DOB", "ADDRESS", "PHONE", "EMAIL", "SSN",
+    "PASSPORT", "DRLIC", "NATIONAL_ID")
+
+  /** Render a distinct-term array back into a canonical match key.
+    * On +/- conflict across edges the + wins (the grown entity holds a
+    * matching variant); +NAME subsumes partial-name terms.
+    */
+  private def renderKeyUnion(terms: Column): Column = {
+    def has(t: String): Column = array_contains(terms, t)
+    val nameTerm = when(has("+NAME"), "+NAME")
+      .when(has("+SURNAME"), "+SURNAME")
+      .when(!has("+PNAME") && has("-NAME"), "-NAME").otherwise("")
+    val mids = KeyMidOrder.map(f =>
+      when(has(s"+$f"), s"+$f").when(has(s"-$f"), s"-$f").otherwise(""): Column)
+    val tail = Seq(
+      when(has("-GENDER"), "-GENDER").otherwise(""),
+      when(has("+GENERATION"), "+GENERATION")
+        .when(has("-GENERATION"), "-GENERATION").otherwise(""),
+      when(!has("+NAME") && has("+PNAME"), "+PNAME").otherwise(""))
+    concat((nameTerm +: mids) ++ tail: _*)
+  }
+
+  /** Per-doc MATCH_KEY with ingest-order emulation. In the reference a
+    * record resolves INTO the growing entity, so its key reflects every
+    * feature that matched the records already loaded — not one edge.
+    * Docs arrive in doc_id order (pairs are canonical doc_a < doc_b):
+    * a doc's key is the union of matched features over all its RESOLVED
+    * edges to EARLIER docs. A doc with no earlier edge (it was merged
+    * by later arrivals) keeps its best edge's key. The cluster seed
+    * (min doc_id = entity_id) reports an empty MATCH_KEY like the
+    * reference's first record of each entity.
     */
   private def perDocMatchInfo(resolvedEdges: DataFrame): DataFrame = {
+    val terms = filter(split(col("match_key"), "(?=[+-])"), t => t =!= "")
+    val unionKey = resolvedEdges
+      .select(col("doc_b").as("doc_id"), terms.as("terms"))
+      .groupBy("doc_id")
+      .agg(array_distinct(flatten(collect_list(col("terms")))).as("terms"))
+      .select(col("doc_id"), renderKeyUnion(col("terms")).as("mk_union"))
     val both = resolvedEdges
       .select(col("doc_a").as("doc_id"), col("score"), col("match_key"))
       .unionAll(resolvedEdges.select(col("doc_b").as("doc_id"), col("score"), col("match_key")))
-    both.groupBy("doc_id")
-      .agg(max_by(col("match_key"), struct(col("score"), col("match_key"))).as("match_key"))
+    val best = both.groupBy("doc_id")
+      .agg(max_by(col("match_key"), struct(col("score"), col("match_key"))).as("mk_best"))
+    best.join(unionKey, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mk_union"), col("mk_best")).as("match_key"))
   }
 
   /** Assemble resolved entities.

@@ -41,13 +41,19 @@ object Generic {
     * shuffle joins. ~5M short strings ≈ low hundreds of MB broadcast —
     * the practical executor-memory boundary.
     */
+  /** Phones sit between exclusive ids and addresses: a landline is
+    * shared by a household (golden: a 4-record household line still
+    * credits +PHONE) while a 4-record mailbox is already generic — so
+    * phones get the address-style cutoff, not the id one.
+    */
   final case class Config(threshold: Int = 4, addrThreshold: Int = 8,
-      nameThreshold: Int = 7, maxBroadcastHot: Long = 5000000L)
+      phoneThreshold: Int = 8, nameThreshold: Int = 7,
+      maxBroadcastHot: Long = 5000000L)
 
   /** The (flagColumn, valueExpression, thresholdKind) triples. */
   private def valueCols: Seq[(String, Column, String)] = Seq(
     ("email_generic", col("email"), "id"),
-    ("phone_generic", col("phone7"), "id"),
+    ("phone_generic", col("phone7"), "phone"),
     ("addr_generic", when(col("addr.house").isNotNull,
       concat(col("addr.house"), lit(":"), coalesce(col("addr.street"), lit("")))), "addr"),
     ("ssn_generic", col("ssn"), "id"),
@@ -73,9 +79,10 @@ object Generic {
       .select(col("fv.fam").as("fam"), col("fv.v").as("v"))
     val thresholdOf = typedlit(valueCols.map { case (f, _, kind) =>
       f -> (kind match {
-        case "addr" => cfg.addrThreshold
-        case "name" => cfg.nameThreshold
-        case _      => cfg.threshold
+        case "addr"  => cfg.addrThreshold
+        case "phone" => cfg.phoneThreshold
+        case "name"  => cfg.nameThreshold
+        case _       => cfg.threshold
       })
     }.toMap)
     val obs = org.apache.spark.sql.Observation(

@@ -222,7 +222,10 @@ object Scoring {
     // given disagrees (POSSIBLY_RELATED evidence only, zero points)
     val nameClass =
       when(bothFull && gsB >= 0.92 && ssB >= 0.88, "NAME")
-        .when(bothFull && gsB >= 0.92 && ssB < 0.65, "PNAME")
+        // the partial-name boundary sits ABOVE plain JW noise: unrelated
+        // surnames sharing letters (anderson/jones = 0.658) still render
+        // +PNAME in the golden export, so the disagree cutoff is 0.70
+        .when(bothFull && gsB >= 0.92 && ssB < 0.70, "PNAME")
         .when(bothFull && ssB >= 0.88 && gsB < 0.65, "SURNAME")
         .when(gsB.isNotNull && ssB.isNull && gsB >= 0.9, "NAME")
         .when(ssB.isNotNull && gsB.isNull && ssB >= 0.92, "NAME")
