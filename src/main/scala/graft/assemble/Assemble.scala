@@ -333,8 +333,13 @@ object Assemble {
     // is the reference-parity dense ascending long. Numbering is fully
     // distributed (no single-partition window): range-partition the key
     // set, row_number within each range, add per-partition offsets.
+    // In the unnumbered (delta-export) path the top-level ENTITY_ID uses
+    // the SAME hash id that RELATED_ENTITIES.ENTITY_ID carries (see
+    // otherCore above), so relationship ids cross-reference within one
+    // export; entity_key remains the stable string id.
     val keyed = base.withColumnRenamed("entity_id", "entity_key")
-    entityIds.fold(keyed.withColumn("ENTITY_ID", col("entity_key")))(ids =>
+    entityIds.fold(
+      keyed.withColumn("ENTITY_ID", abs(xxhash64(col("entity_key")))))(ids =>
       keyed.join(ids, "entity_key"))
   }
 
@@ -345,28 +350,37 @@ object Assemble {
     * the only driver-side state is one count per partition. Equivalent
     * to `dense_rank().over(Window.orderBy(keyCol))` on distinct keys.
     */
-  def denseIds(keys: DataFrame, keyCol: String, partitions: Int = 64,
+  def denseIds(keys: DataFrame, keyCol: String, partitions: Int = 0,
       outCol: String = "ENTITY_ID"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // partitions scale with the session's shuffle parallelism (cluster
+    // deployments set spark.sql.shuffle.partitions to 1000s; a fixed 64
+    // would mean 64 single-task range sorts at 10^9 entities).
+    val nPart = if (partitions > 0) partitions
+      else math.max(64, keys.sparkSession.sessionState.conf.numShufflePartitions)
     val ranged = keys.select(keyCol).distinct()
-      .repartitionByRange(partitions, col(keyCol))
+      .repartitionByRange(nPart, col(keyCol))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true) // pin the (sampled) range boundaries
     val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until partitions).scanLeft(0L) {
+    val offsets = (0 until nPart).scanLeft(0L) {
       case (acc, pid) => acc + counts.getOrElse(pid, 0L)
     }
-    val offMap = typedlit((0 until partitions).map(p => p -> offsets(p)).toMap)
+    val offMap = typedlit((0 until nPart).map(p => p -> offsets(p)).toMap)
     val w = Window.partitionBy("_pid").orderBy(col(keyCol))
     ranged.withColumn(outCol,
         row_number().over(w).cast("long") + element_at(offMap, col("_pid")))
       .drop("_pid")
   }
 
-  /** Render entities to the reference's JSONL export shape. */
+  /** Render entities to the reference's JSONL export shape, ordered by
+    * ENTITY_ID (the fixture's ids ascend; a range-sorted export makes
+    * re-export bytes reproducible run-to-run — the sort is one range
+    * shuffle over already-assembled rows, cheap relative to assembly).
+    */
   def toExportJson(entities: DataFrame): DataFrame =
-    entities.select(to_json(struct(
+    entities.orderBy("ENTITY_ID").select(to_json(struct(
       struct(
         col("ENTITY_ID"),
         col("ENTITY_NAME"),

@@ -69,6 +69,26 @@ class FixtureResolveSpec extends AnyFunSuite {
     }
   }
 
+  test("full export is deterministic: two writes produce identical bytes") {
+    def writeOnce(): Array[String] = {
+      val dir = java.nio.file.Files.createTempDirectory("exp").toString
+      val p = graft.jobs.ExportJob.write(
+        Assemble.toExportJson(result.entities), dir, "det", graft.jobs.ExportJob.Full)
+      val files = new java.io.File(p).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      files.flatMap(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n")).filter(_.nonEmpty)
+    }
+    val a = writeOnce()
+    val b = writeOnce()
+    assert(a.nonEmpty && a.sameElements(b))
+    // ordered by ENTITY_ID (fixture ids ascend; export order is pinned)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ids = a.map(l => mapper.readTree(l).get("RESOLVED_ENTITY").get("ENTITY_ID").asLong())
+    assert(ids.sameElements(ids.sorted))
+  }
+
   test("delta semantics: +1 unrelated record → exactly 1 affected entity; rerun → empty") {
     val tmp = java.nio.file.Files.createTempDirectory("snapstore").toString
     val store = new SnapshotStore(tmp)

@@ -46,8 +46,30 @@ class IncrementalResolveSpec extends AnyFunSuite {
     // redeliver an overlapping slice (at-least-once)
     val r2 = IncrementalResolve.processBatch(spark, store, docs.take(30).toDF())
     assert(r2.newDocs == 0)
+    assert(r2.featurizedDocs == 0, "identical redelivery must not re-normalize")
+    assert(r2.ccVertices == 0, "identical redelivery must not re-cluster anything")
     assert(r2.affectedEntities.count() == 0)
     assert(assignMap(r2.assignments) == assignMap(r1.assignments))
+  }
+
+  test("batch cost is delta-proportional: +1 unrelated doc → 1 featurized doc, 1 CC vertex") {
+    import graft.model.Span
+    val docs = DocCorpus.fromFlatJsonl(spark, FixtureEval.CustomersPath).collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("incstore5").toString
+    val store = new SnapshotStore(tmp)
+    val r1 = IncrementalResolve.processBatch(spark, store, docs.toDF())
+    assert(r1.featurizedDocs == 120 && r1.ccVertices == 120)
+    val extra = Doc("TEST:1", Seq(
+      Span("data_source", "TEST", null, 0), Span("record_id", "1", null, 1),
+      Span("name_first", "ERNEST", null, 2), Span("name_last", "HEMINGWAY", null, 3),
+      Span("addr_full", "453 Orange Blossom Path, Key West FL", null, 4)))
+    val r2 = IncrementalResolve.processBatch(spark, store, Seq(extra).toDF())
+    assert(r2.featurizedDocs == 1, "only the delta goes through normalization")
+    assert(r2.ccVertices == 1,
+      s"CC must see only affected components + new docs, got ${r2.ccVertices}")
+    assert(r2.assignments.count() == 121)
+    assert(assignMap(r2.assignments).view.filterKeys(_ != "TEST:1").toMap ==
+      assignMap(r1.assignments), "untouched docs carry their labels verbatim")
   }
 
   test("changed-content redelivery is an UPSERT: new spans take effect") {
