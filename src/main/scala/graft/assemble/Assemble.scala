@@ -45,15 +45,25 @@ object Assemble {
         spanText(sp, "addr_city"),
         spanText(sp, "addr_state"),
         spanText(sp, "addr_postal_code"))), lit("")))
-    val nameRaw = coalesce(
-      nullif(concat_ws(" ",
-        trim(spanText(sp, "primary_name_first")),
-        trim(spanText(sp, "primary_name_middle")),
-        trim(spanText(sp, "primary_name_last"))), lit("")),
+    // a generation ordinal in the given-name field renders AFTER the
+    // surname ("Morris I" + "Klein" → "Morris Klein I") and
+    // parentheses are dropped — the reference's display forms
+    val fm = nullif(concat_ws(" ",
+      trim(spanText(sp, "primary_name_first")),
+      trim(spanText(sp, "primary_name_middle"))), lit(""))
+    val fmToks = split(fm, " +")
+    val genToks = typedlit(Seq("i", "ii", "iii", "iv", "v", "jr", "sr"))
+    val genTok = when(size(fmToks) >= 2 &&
+      array_contains(genToks, lower(element_at(fmToks, -1))), element_at(fmToks, -1))
+    val fmBase = when(genTok.isNotNull,
+      array_join(slice(fmToks, lit(1), size(fmToks) - 1), " ")).otherwise(fm)
+    val nameRaw = regexp_replace(coalesce(
+      nullif(concat_ws(" ", fmBase,
+        trim(spanText(sp, "primary_name_last")), genTok), lit("")),
       spanText(sp, "primary_name_full"),
       spanText(sp, "primary_name_org"),
       spanText(sp, "secondary_name_org"),
-      spanText(sp, "native_name_full"))
+      spanText(sp, "native_name_full")), "[()]", "")
     // canon keys: variants that should share one feature group
     val nameCanon = concat_ws(" ",
       get(split(col("given_can"), " "), lit(0)), col("surname"))
@@ -89,20 +99,31 @@ object Assemble {
 
   /** Render a distinct-term array back into a canonical match key.
     * On +/- conflict across edges the + wins (the grown entity holds a
-    * matching variant); +NAME subsumes partial-name terms.
+    * matching variant); +NAME subsumes partial-name terms. When
+    * `seedName` is non-null the name slot is taken from the doc's edge
+    * to its entity SEED instead of the union — the reference evaluates
+    * an arriving record's name against the entity it joins, whose
+    * display identity is the seed's (golden: "B Smith" joining Robert
+    * Smith's entity renders +PNAME even though it initial-matches the
+    * later "Bob Smith" record).
     */
-  private def renderKeyUnion(terms: Column): Column = {
+  private def renderKeyUnion(terms: Column, seedName: Column): Column = {
     def has(t: String): Column = array_contains(terms, t)
-    val nameTerm = when(has("+NAME"), "+NAME")
-      .when(has("+SURNAME"), "+SURNAME")
-      .when(!has("+PNAME") && has("-NAME"), "-NAME").otherwise("")
+    val nameTerm = when(seedName.isNotNull,
+      when(seedName.isin("+NAME", "+SURNAME", "-NAME"), seedName).otherwise(""))
+      .otherwise(when(has("+NAME"), "+NAME")
+        .when(has("+SURNAME"), "+SURNAME")
+        .when(!has("+PNAME") && has("-NAME"), "-NAME").otherwise(""))
     val mids = KeyMidOrder.map(f =>
       when(has(s"+$f"), s"+$f").when(has(s"-$f"), s"-$f").otherwise(""): Column)
+    val pnameTerm = when(seedName.isNotNull,
+      when(seedName === "+PNAME", "+PNAME").otherwise(""))
+      .otherwise(when(!has("+NAME") && has("+PNAME"), "+PNAME").otherwise(""))
     val tail = Seq(
       when(has("-GENDER"), "-GENDER").otherwise(""),
       when(has("+GENERATION"), "+GENERATION")
         .when(has("-GENERATION"), "-GENERATION").otherwise(""),
-      when(!has("+NAME") && has("+PNAME"), "+PNAME").otherwise(""))
+      pnameTerm)
     concat((nameTerm +: mids) ++ tail: _*)
   }
 
@@ -116,13 +137,54 @@ object Assemble {
     * (min doc_id = entity_id) reports an empty MATCH_KEY like the
     * reference's first record of each entity.
     */
-  private def perDocMatchInfo(resolvedEdges: DataFrame): DataFrame = {
-    val terms = filter(split(col("match_key"), "(?=[+-])"), t => t =!= "")
-    val unionKey = resolvedEdges
-      .select(col("doc_b").as("doc_id"), terms.as("terms"))
+  private def perDocMatchInfo(resolvedEdges: DataFrame,
+      assignments: DataFrame): DataFrame = {
+    // edge frames without the Scoring export-key flags (slim test
+    // fixtures) fall back to plain term unioning
+    val xkCols = Seq("xk_name_add", "xk_name_pname", "xk_name_cmp")
+    val e1 = xkCols.foldLeft(resolvedEdges) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(false))
+    }
+    val e2 = if (e1.columns.contains("xk_name_lvl")) e1
+      else e1.withColumn("xk_name_lvl", lit(null).cast("string"))
+    val e3 = if (e2.columns.contains("xk_ssn_short")) e2
+      else e2.withColumn("xk_ssn_short", lit(false))
+    val e0 = if (e3.columns.contains("xk_nid_close")) e3
+      else e3.withColumn("xk_nid_close", lit(false))
+    val terms0 = filter(split(col("match_key"), "(?=[+-])"), t => t =!= "")
+    // edge-level name-term adjustments (see Scoring's xk flag doc): a
+    // truncation given adds +NAME; a mid-band given against a strong
+    // surname adds +PNAME
+    val termsEdge =
+      when(col("xk_name_add"), concat(terms0, array(lit("+NAME"))))
+        .when(col("xk_name_pname"), concat(terms0, array(lit("+PNAME"))))
+        .otherwise(terms0)
+    // the doc's edge to its entity SEED (entity_id = min member doc_id;
+    // edges are canonical doc_a < doc_b, so the seed is always doc_a):
+    // its name class overrides the union's name slot — see
+    // renderKeyUnion
+    val seedName = e0
+      .join(assignments.select(col("entity_id").as("doc_a"),
+        col("doc_id").as("doc_b")), Seq("doc_a", "doc_b"), "left_semi")
+      .filter(col("xk_name_cmp"))
+      .select(col("doc_b").as("doc_id"),
+        when(array_contains(termsEdge, "+NAME"), "+NAME")
+          .when(array_contains(termsEdge, "+SURNAME"), "+SURNAME")
+          .when(array_contains(termsEdge, "-NAME"), "-NAME")
+          .when(array_contains(termsEdge, "+PNAME"), "+PNAME")
+          .otherwise("").as("seed_name"),
+        col("xk_name_lvl").as("name_lvl"),
+        col("xk_ssn_short").as("ssn_short"),
+        col("xk_nid_close").as("nid_close"))
+    val unionKey = e0
+      .select(col("doc_b").as("doc_id"), termsEdge.as("terms"))
       .groupBy("doc_id")
       .agg(array_distinct(flatten(collect_list(col("terms")))).as("terms"))
-      .select(col("doc_id"), renderKeyUnion(col("terms")).as("mk_union"))
+      .join(seedName, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        renderKeyUnion(col("terms"), col("seed_name")).as("mk_union"),
+        col("name_lvl"), coalesce(col("ssn_short"), lit(false)).as("ssn_short"),
+        coalesce(col("nid_close"), lit(false)).as("nid_close"))
     val both = resolvedEdges
       .select(col("doc_a").as("doc_id"), col("score"), col("match_key"))
       .unionAll(resolvedEdges.select(col("doc_b").as("doc_id"), col("score"), col("match_key")))
@@ -130,7 +192,9 @@ object Assemble {
       .agg(max_by(col("match_key"), struct(col("score"), col("match_key"))).as("mk_best"))
     best.join(unionKey, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("mk_union"), col("mk_best")).as("match_key"))
+        coalesce(col("mk_union"), col("mk_best")).as("match_key"),
+        col("name_lvl"), coalesce(col("ssn_short"), lit(false)).as("ssn_short"),
+        coalesce(col("nid_close"), lit(false)).as("nid_close"))
   }
 
   /** Assemble resolved entities.
@@ -166,7 +230,7 @@ object Assemble {
       if (edges.columns.contains("is_ambiguous")) edges
       else edges.withColumn("is_ambiguous", lit(false))
     val resolved = edgesA.filter(col("level") === "RESOLVED")
-    val matchInfo = perDocMatchInfo(resolved)
+    val matchInfo = perDocMatchInfo(resolved, assignments)
 
     // dense ENTITY_IDs (distributed range numbering off the narrow
     // assignment frame); needed early so RELATED_ENTITIES can carry the
@@ -233,9 +297,9 @@ object Assemble {
         .as("FEATURES"))
 
     // ---- ENTITY_NAME: approximation of Senzing's display-name pick,
-    // calibrated on the fixture (68/74 exact): most frequent exact
-    // normalized name, then longest alphabetic form, then least
-    // punctuation, then the latest record's value ----
+    // calibrated on the fixture: most frequent exact normalized name,
+    // then longest alphabetic form, then least punctuation, then the
+    // latest record's value ----
     val nameCand = entries.filter(col("ftype") === "NAME")
       .withColumn("nnorm", regexp_replace(lower(col("desc")), "[^a-z ]", ""))
     val nameFreq = nameCand.groupBy("entity_id", "nnorm").agg(count(lit(1)).as("freq"))
@@ -259,7 +323,8 @@ object Assemble {
         when(col("doc_id") === col("entity_id"), lit(""))
           .otherwise(lit("RESOLVED")).as("MATCH_LEVEL_CODE"),
         when(seedKey === "", lit(""))
-          .otherwise(ErRule.code(seedKey, lit("RESOLVED"))).as("ERRULE_CODE"),
+          .otherwise(ErRule.code(seedKey, lit("RESOLVED"),
+            col("name_lvl"), col("ssn_short"), col("nid_close"))).as("ERRULE_CODE"),
         col("spans_sorted").as("SPANS")))).as("RECORDS"),
       count(lit(1)).as("RECORD_COUNT"))
 

@@ -200,7 +200,10 @@ object Normalize {
 
   /** Normalized address parts from a free-text address:
     * struct(house, zip, street — first non-stop alpha token after
-    * blanking digits, stokens — all non-stop alphanumeric tokens).
+    * blanking digits, stokens — all non-stop alphanumeric tokens,
+    * digits — every pure-digit token, distinct: unmatched numeric
+    * components (unit numbers, a second conflicting postal) demote an
+    * address match in the export key, see Assemble.perDocMatchInfo).
     */
   def parseAddr(raw: Column): Column = {
     val s = trim(regexp_replace(regexp_replace(lower(raw), "[^a-z0-9 ]", " "), " +", " "))
@@ -214,7 +217,8 @@ object Normalize {
       t.rlike("^[a-z][a-z0-9]*$") && !array_contains(stop, t)))
     when(raw.isNotNull && size(toks) > 0,
       struct(house.as("house"), zip.as("zip"),
-        get(stokens, lit(0)).as("street"), stokens.as("stokens")))
+        get(stokens, lit(0)).as("street"), stokens.as("stokens"),
+        array_distinct(digitToks).as("digits")))
   }
 
   /** Strip generation suffixes (jr/sr/ii/iii/iv) from a surname. */
@@ -268,14 +272,23 @@ object Normalize {
 
     val phoneDigits = digitsOf(spanText(sp, "phone_number"))
 
-    // display name from the richest raw material available
+    // display name from the richest raw material available; a
+    // generation ordinal embedded in the first-name field renders after
+    // the surname ("Morris I" + "Klein" → "Morris Klein I", matching
+    // the reference's display form), and parentheses are dropped
     val dispFirst = trim(coalesce(spanText(sp, "primary_name_first"), spanText(sp, "name_first")))
     val dispLast = trim(coalesce(spanText(sp, "primary_name_last"), spanText(sp, "name_last")))
-    val display = coalesce(
-      when(dispFirst.isNotNull || dispLast.isNotNull, concat_ws(" ", dispFirst, dispLast)),
+    val dToks = split(dispFirst, " +")
+    val dGen = when(size(dToks) >= 2 &&
+      array_contains(genSet, lower(element_at(dToks, -1))), element_at(dToks, -1))
+    val dFirstBase = when(dGen.isNotNull,
+      array_join(slice(dToks, lit(1), size(dToks) - 1), " ")).otherwise(dispFirst)
+    val display = regexp_replace(coalesce(
+      when(dispFirst.isNotNull || dispLast.isNotNull,
+        concat_ws(" ", dFirstBase, dispLast, dGen)),
       trim(spanText(sp, "primary_name_full")),
       trim(coalesce(spanText(sp, "primary_name_org"), spanText(sp, "secondary_name_org"))),
-      native)
+      native), "[()]", "")
 
     val genderRaw = upper(trim(spanText(sp, "gender")))
 
@@ -302,6 +315,7 @@ object Normalize {
       alnumUpper(spanText(sp, "passport_number")).as("passport"),
       alnumUpper(spanText(sp, "drivers_license_number")).as("drlic"),
       alnumUpper(spanText(sp, "national_id_number")).as("national_id"),
+      alnumUpper(spanText(sp, "national_id_country")).as("national_id_country"),
       parseAddr(coalesce(
         spanText(sp, "addr_full"),
         concat_ws(" ",

@@ -39,7 +39,22 @@ object ErRule {
 
   private val F1Features = Seq("EMAIL", "SSN", "PASSPORT", "DRLIC", "NATIONAL_ID")
 
-  def code(matchKey: Column, level: Column): Column = {
+  /** Rule code from match key + level alone (relationships — no
+    * per-edge name-level signal is rendered in the golden relationship
+    * bands).
+    */
+  def code(matchKey: Column, level: Column): Column =
+    code(matchKey, level, lit(null).cast("string"), lit(false), lit(false))
+
+  /** Rule code with the name agreement LEVEL ("S" exact / "C" exact on
+    * the present component / "P" sub-exact — from the doc's seed edge,
+    * Scoring.xk_name_lvl) and the short-SSN flag: the fixture shows the
+    * fired rule id tracks the name level (SF1_SNAME vs SF1_CNAME vs
+    * SF1_PNAME_*) independently of the key's rendered +NAME term, and a
+    * last-4 SSN match fires MSTAB_CNAME instead of a shared-F1 rule.
+    */
+  def code(matchKey: Column, level: Column, nameLvl: Column,
+      ssnShort: Column, nidClose: Column): Column = {
     def has(f: String): Column = matchKey.contains(s"+$f")
     val f1 = F1Features.map(has).reduce(_ || _)
     val ff = has("ADDRESS") || has("PHONE")
@@ -51,14 +66,35 @@ object ErRule {
       matchKey.contains("-GENERATION")
     def seg(cond: Column, s: String): Column = when(cond, s).otherwise("")
 
-    val resolved = when(f1, concat(lit("SF1"),
-        seg(name && (dob || pname), "_PNAME"), seg(name && !dob && !pname, "_CNAME"),
-        seg(ff, "_CFF"), seg(dob, "_CSTAB")))
-      .when(name && ff, concat(lit("CNAME_CFF"), seg(dob, "_CEXCL")))
-      .when(name && dob, lit("SNAME_SSTAB"))
-      .when(name, lit("CNAME"))
-      .when(ff, lit("CFF"))
-      .otherwise(lit(""))
+    // the only F1 term is a last-4 SSN → stabilizer rule, not shared-F1
+    val onlySsnF1 = has("SSN") && !F1Features.filterNot(_ == "SSN")
+      .map(has).reduce(_ || _)
+
+    val resolved =
+      // last-4 SSN as the only F1 → stabilizer rule (golden 1080)
+      when(f1 && ssnShort && onlySsnF1 && name && dob, lit("MSTAB_CNAME"))
+        // national id agreeing with a one-sided/differing country
+        // qualifier → CLOSE-F1 rule (golden 1070)
+        .when(has("NATIONAL_ID") && nidClose && name,
+          concat(lit("CF1_PNAME"), seg(ff, "_CFF"), seg(dob, "_CSTAB")))
+        // raw-form-same name at the full composition → SNAME rule
+        // (golden 1072: native-script name romanizing to the exact
+        // entered name)
+        .when(f1 && name && nameLvl === "S" && ff && dob,
+          lit("SF1_SNAME_CFF_CSTAB"))
+        // shared SSN without DOB still fires the stab-flavored PNAME
+        // rule (golden 1017/1067), unlike email/passport (SF1_CNAME)
+        .when(f1 && name && has("SSN") && !dob && !ff, lit("SF1_PNAME_CSTAB"))
+        // sub-exact name with an FF feature and no DOB (golden 1046)
+        .when(f1 && name && nameLvl === "P" && ff && !dob, lit("SF1_PNAME_CFF"))
+        .when(f1, concat(lit("SF1"),
+          seg(name && (dob || pname), "_PNAME"), seg(name && !dob && !pname, "_CNAME"),
+          seg(ff, "_CFF"), seg(dob, "_CSTAB")))
+        .when(name && ff, concat(lit("CNAME_CFF"), seg(dob, "_CEXCL")))
+        .when(name && dob, lit("SNAME_SSTAB"))
+        .when(name, lit("CNAME"))
+        .when(ff, lit("CFF"))
+        .otherwise(lit(""))
 
     val related = when(surname && ff, lit("CFF_SURNAME"))
       .when(f1, lit("SF1"))

@@ -81,7 +81,7 @@ object Scoring {
   val scoringColumns: Seq[String] = Seq(
     "doc_id", "record_type", "given_raw", "given_can", "generation", "surname",
     "org_name", "dob", "phone_digits", "phone7", "email", "ssn", "passport",
-    "drlic", "national_id", "addr", "gender",
+    "drlic", "national_id", "national_id_country", "addr", "gender",
     "email_generic", "phone_generic", "addr_generic", "ssn_generic",
     "passport_generic", "drlic_generic", "nid_generic", "name_generic")
 
@@ -152,8 +152,49 @@ object Scoring {
         when(a2("phone_digits") === b2("phone_digits"), 2).otherwise(1))
         .otherwise(0)
 
+    // ---- export-key refinement flags (raw) ----
+    // These NEVER touch score/level/per-edge MATCH_KEY (oracle-pinned);
+    // Assemble.perDocMatchInfo folds them into the per-RECORD key to
+    // mirror the reference's record-into-growing-entity keys:
+    //  - a ≥3-letter strict-prefix given (hypocorism truncation) ADDS
+    //    +NAME (golden 1046: "Pat"/"Patricia" → +NAME+…);
+    //  - a mid-band given (neither agreeing nor conflicting) against a
+    //    strong surname renders +PNAME (golden 1004: "B" vs the seed
+    //    record's "Robert" → …+PNAME).
+    val faTok = get(split(a2("given_can"), " "), lit(0))
+    val fbTok = get(split(b2("given_can"), " "), lit(0))
+    val xkTrunc = length(faTok) >= 3 && length(fbTok) >= 3 &&
+      length(faTok) =!= length(fbTok) &&
+      (startswith(faTok, fbTok) || startswith(fbTok, faTok))
+
+    // a 4-digit SSN is a LAST-4 partial, not a full exclusive id — the
+    // reference's rule cascade fires MSTAB_CNAME (matching stabilizers)
+    // instead of a shared-F1 rule for such matches (golden record 1080)
+    val xkSsnShort = a2("ssn").isNotNull && length(a2("ssn")) < 9
+
+    // a national id agreeing on the NUMBER while the issuing-country
+    // qualifier is one-sided or differing is a CLOSE F1, not a shared
+    // F1 — the reference fires CF1_* rules for it (golden 1070)
+    val xkNidClose = a2("national_id").isNotNull &&
+      a2("national_id") === b2("national_id") &&
+      !(a2("national_id_country") <=> b2("national_id_country"))
+
+    // raw-form name equality: the reference's SNAME rules require the
+    // name to match as ENTERED — a nickname-canonical match like
+    // Zara/Sahra scores full but fires a CNAME/PNAME rule. A surname
+    // differing by ONE substituted character (Weest/Wiest — a typo, not
+    // a different name) still counts as same; a transposition or a
+    // compound extension (Desqueir/Desquire, Sanchez Mendoza) does not.
+    val xkRawSame = a2("given_raw").isNotNull &&
+      a2("given_raw") === b2("given_raw") && sA.isNotNull && sB.isNotNull &&
+      (sA === sB || (length(sA) === length(sB) && levenshtein(sA, sB) === 1))
+
     val narrow = joined.select(
       col("doc_a"), col("doc_b"),
+      coalesce(xkTrunc, lit(false)).as("xk_trunc_raw"),
+      coalesce(xkSsnShort, lit(false)).as("xk_ssn_short_raw"),
+      coalesce(xkRawSame, lit(false)).as("xk_raw_same_raw"),
+      coalesce(xkNidClose, lit(false)).as("xk_nid_close"),
       gs.as("gs_straight"), ss.as("ss_straight"),
       gsSwap.as("gs_swap"), ssSwap.as("ss_swap"),
       least(length(a2("given_raw")), length(b2("given_raw"))).as("min_given_len"),
@@ -238,9 +279,37 @@ object Scoring {
     // must not merge on a DOB coincidence.
     val nameSame = bothFull && gsB >= 0.999 && ssB >= 0.999
 
+    // export-key flags: truncation gated on the straight orientation (a
+    // swapped-field match must not trigger the given-name prefix rule);
+    // the mid-band partial is computed on the arranged components
+    val xkNameAdd = coalesce(
+      !useSwap && col("xk_trunc_raw") && nameClass.isNull &&
+        ssB.isNotNull && ssB >= 0.88, lit(false))
+    val xkNamePname = coalesce(
+      bothFull && ssB >= 0.88 && nameClass.isNull && !xkNameAdd, lit(false))
+    val xkNameCmp = gsB.isNotNull || ssB.isNotNull
+    // name agreement LEVEL for rule-code synthesis (Senzing's
+    // SNAME/CNAME/PNAME distinction): S = raw-form exact (as entered),
+    // C = full score via canonicalization / a missing component,
+    // P = compared but sub-exact; null = no name comparison
+    val xkNameLvl =
+      when(col("xk_raw_same_raw"), "S")
+        .when(nameSame, "C")
+        .when(gsB >= 0.999 && ssB.isNull, "C")
+        .when(ssB >= 0.999 && gsB.isNull, "C")
+        .when(xkNameCmp, "P")
+    val xkSsnShortEq = coalesce(
+      col("xk_ssn_short_raw") && col("ssn_cmp") === 1, lit(false))
+
     val ptsNamed = Seq(
       nameClass.as("name_class"),
       nameSame.as("name_same"),
+      xkNameAdd.as("xk_name_add"),
+      xkNamePname.as("xk_name_pname"),
+      xkNameCmp.as("xk_name_cmp"),
+      xkNameLvl.as("xk_name_lvl"),
+      xkSsnShortEq.as("xk_ssn_short"),
+      col("xk_nid_close"),
       namePts.as("name_pts"), genPts.as("gen_pts"), dobPts.as("dob_pts"),
       phonePts.as("phone_pts"), emailPts.as("email_pts"), ssnPts.as("ssn_pts"),
       passportPts.as("passport_pts"), drlicPts.as("drlic_pts"),
@@ -296,7 +365,9 @@ object Scoring {
       col("doc_a"), col("doc_b"),
       col("score"),
       matchKey.as("match_key"),
-      level.as("level"))
+      level.as("level"),
+      col("xk_name_add"), col("xk_name_pname"), col("xk_name_cmp"),
+      col("xk_name_lvl"), col("xk_ssn_short"), col("xk_nid_close"))
       .filter(col("level").isNotNull)
   }
 }

@@ -107,6 +107,7 @@ object GoldenDiff {
             if (r.get("MATCH_KEY").asText() == gk) recKeyEq += 1
             else keyMiss += s"${rid(r.get("DOC_ID").asText())}: ours='${r.get("MATCH_KEY").asText()}' golden='$gk'"
             if (r.get("ERRULE_CODE").asText() == ge) recErruleEq += 1
+            else keyMiss += s"ERRULE ${rid(r.get("DOC_ID").asText())}: ours='${r.get("ERRULE_CODE").asText()}' (key '${r.get("MATCH_KEY").asText()}') golden='$ge' (key '$gk')"
           }
           // related: translate our RELATED_ENTITY_KEY (entity_key of other)
           val ourRelated = Option(o.get("RELATED_ENTITIES")).toSeq

@@ -33,7 +33,7 @@ object KeyDebug {
       e.filter((col("doc_a") === id || col("doc_b") === id) &&
           col("ent_a") === col("ent_b"))
         .select(col("doc_a"), col("doc_b"), col("level"), col("match_key"),
-          col("score"))
+          col("score"), col("xk_name_lvl"), col("xk_name_pname"), col("xk_name_add"))
         .orderBy("doc_a", "doc_b")
         .show(50, truncate = false)
     }
