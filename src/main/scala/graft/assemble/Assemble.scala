@@ -137,6 +137,32 @@ object Assemble {
     * (min doc_id = entity_id) reports an empty MATCH_KEY like the
     * reference's first record of each entity.
     */
+  /** Render a relationship (entity-vs-entity) match key: the name term
+    * (from the cross-pair name rank), every agreeing feature in
+    * canonical family order, then every denial — the reference's
+    * relationship grammar (`+SURNAME+ADDRESS+EMAIL-DOB-SSN`,
+    * `+PNAME+PHONE-DOB`: positives first, denials last, +PNAME leads
+    * like any other name term here, unlike record keys).
+    */
+  private def renderRelKey(terms: Column, nrank: Column,
+      emailEq: Column, phoneEq: Column, amb: Column): Column = {
+    def has(t: String): Column = array_contains(terms, t)
+    val nameTerm = when(nrank === 3, "+NAME").when(nrank === 2, "+PNAME")
+      .when(nrank === 1, "+SURNAME").otherwise("")
+    def agreed(f: String): Column = f match {
+      case "EMAIL" => has("+EMAIL") || emailEq
+      case "PHONE" => has("+PHONE") || phoneEq
+      case _       => has(s"+$f")
+    }
+    val pos = KeyMidOrder.map(f => when(agreed(f), s"+$f").otherwise(""): Column)
+    // ambiguous relationships render positives only (the golden
+    // suppressed-merge bands carry no denial terms); -NAME never
+    // renders in a relationship band
+    val neg = (KeyMidOrder ++ Seq("GENDER", "GENERATION")).map(f =>
+      when(!amb && has(s"-$f") && !agreed(f), s"-$f").otherwise(""): Column)
+    concat(nameTerm +: (pos ++ neg): _*)
+  }
+
   private def perDocMatchInfo(resolvedEdges: DataFrame,
       assignments: DataFrame): DataFrame = {
     // edge frames without the Scoring export-key flags (slim test
@@ -335,22 +361,54 @@ object Assemble {
         col("data_source").as("DATA_SOURCE"),
         col("RECORD_COUNT")))).as("RECORD_SUMMARY"))
 
-    // ---- RELATED_ENTITIES: best sub-threshold edge per entity pair,
-    //      enriched with the other side's name + record summary ----
+    // ---- RELATED_ENTITIES: entity-vs-entity relationship bands.
+    // The reference compares the two entities' accumulated feature
+    // sets, so the relationship key is the UNION of agreements across
+    // every cross-entity edge (a + anywhere wins over a − elsewhere;
+    // generic-value suppression applies to scoring, not to the key —
+    // a household-shared email still renders +EMAIL), positives first
+    // then denials, with the name class from the best cross pair; the
+    // level is POSSIBLY_SAME exactly when full name support (+NAME)
+    // exists, POSSIBLY_RELATED otherwise. ----
     val nonResolved = edgesA.filter(col("level") =!= "RESOLVED")
     val relAssign = relatedAssignments.getOrElse(assignments)
     val aAssign = relAssign
       .select(col("doc_id").as("doc_a"), col("entity_id").as("entity_a"))
     val bAssign = relAssign
       .select(col("doc_id").as("doc_b"), col("entity_id").as("entity_b"))
-    val crossEdges = nonResolved
+    val relCols = Seq("xk_rel_name", "xk_email_eq", "xk_phone_eq")
+    val nonResolvedX = relCols.foldLeft(nonResolved) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else if (c == "xk_rel_name") df.withColumn(c, lit(null).cast("string"))
+      else df.withColumn(c, lit(false))
+    }
+    val relTerms = filter(split(col("match_key"), "(?=[+-])"), t => t =!= "")
+    val nameRank = when(col("xk_rel_name") === "NAME", 3)
+      .when(col("xk_rel_name") === "PNAME", 2)
+      .when(col("xk_rel_name") === "SURNAME", 1).otherwise(0)
+    val crossEdges = nonResolvedX
       .join(aAssign, "doc_a").join(bAssign, "doc_b")
       .filter(col("entity_a") =!= col("entity_b"))
+      // canonicalize the ENTITY pair: both edge orientations (a doc of
+      // A below a doc of B and vice versa) contribute to ONE band
+      .select(
+        least(col("entity_a"), col("entity_b")).as("entity_a"),
+        greatest(col("entity_a"), col("entity_b")).as("entity_b"),
+        relTerms.as("terms"), nameRank.as("nrank"),
+        col("xk_email_eq"), col("xk_phone_eq"), col("is_ambiguous"))
       .groupBy("entity_a", "entity_b")
-      .agg(max_by(struct(col("match_key"), col("level"), col("is_ambiguous")),
-        struct(col("score"), col("match_key"))).as("best"))
-      .select(col("entity_a"), col("entity_b"), col("best.match_key").as("match_key"),
-        col("best.level").as("level"), col("best.is_ambiguous").as("amb"))
+      .agg(
+        array_distinct(flatten(collect_list(col("terms")))).as("terms"),
+        max(col("nrank")).as("nrank"),
+        max(col("xk_email_eq")).as("email_eq"),
+        max(col("xk_phone_eq")).as("phone_eq"),
+        max(col("is_ambiguous")).as("amb"))
+      .select(col("entity_a"), col("entity_b"),
+        renderRelKey(col("terms"), col("nrank"), col("email_eq"), col("phone_eq"),
+          col("amb")).as("match_key"),
+        when(col("nrank") === 3, "POSSIBLY_SAME").otherwise("POSSIBLY_RELATED")
+          .as("level"),
+        col("amb"))
     val relatedBoth = crossEdges
       .select(col("entity_a").as("entity_id"), col("entity_b").as("other"),
         col("match_key"), col("level"), col("amb"))

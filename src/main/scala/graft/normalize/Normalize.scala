@@ -20,6 +20,22 @@ object Normalize {
   /** Public-knowledge nickname → canonical given-name map (standard
     * English hypocorisms). Applied tokenwise to given names.
     */
+  /** Common English truncation hypocorisms — given names that
+    * conventionally stand for any longer name they prefix ("Pat" is
+    * both Patricia and Patrick, so it can't live in the
+    * single-canonical [[Nicknames]] map). A prefix match only counts
+    * as a name AGREEMENT when the short form is one of these: "Anna"
+    * prefixes "Annabelle" but is a full name in its own right, and the
+    * reference scores that pair as surname-only. Public linguistic
+    * knowledge, same provenance as the nickname map.
+    */
+  val TruncNicknames: Set[String] = Set(
+    "pat", "chris", "alex", "sam", "ben", "dan", "matt", "nick", "tim",
+    "rob", "mike", "will", "jess", "steph", "fred", "greg", "nate",
+    "zach", "josh", "dave", "ron", "don", "ken", "jim", "tom", "joe",
+    "ed", "gabe", "theo", "vic", "max", "abby", "mel", "raph", "phil",
+    "fran", "stan", "leo", "gus", "cal", "vince", "russ", "marg")
+
   val Nicknames: Map[String, String] = Map(
     "bob" -> "robert", "bobby" -> "robert", "robbie" -> "robert", "rob" -> "robert",
     "bill" -> "william", "billy" -> "william", "will" -> "william", "willy" -> "william",
@@ -303,6 +319,7 @@ object Normalize {
       upper(trim(spanText(sp, "record_type"))).as("record_type"),
       givenRaw.as("given_raw"),
       canonTokens(givenRaw, Nicknames).as("given_can"),
+      // (TruncNicknames gates the prefix rule in Scoring)
       generation.as("generation"),
       surname.as("surname"),
       org.as("org_name"),

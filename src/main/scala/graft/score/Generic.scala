@@ -53,6 +53,10 @@ object Generic {
   /** The (flagColumn, valueExpression, thresholdKind) triples. */
   private def valueCols: Seq[(String, Column, String)] = Seq(
     ("email_generic", col("email"), "id"),
+    // key-render tier: the reference still RENDERS +EMAIL for a
+    // family-shared mailbox (4 uses) but suppresses an org-wide one
+    // (20+); scoring genericity stays at the stricter id threshold
+    ("email_verygeneric", col("email"), "phone"),
     ("phone_generic", col("phone7"), "phone"),
     ("addr_generic", when(col("addr.house").isNotNull,
       concat(col("addr.house"), lit(":"), coalesce(col("addr.street"), lit("")))), "addr"),

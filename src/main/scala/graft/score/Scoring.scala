@@ -82,7 +82,7 @@ object Scoring {
     "doc_id", "record_type", "given_raw", "given_can", "generation", "surname",
     "org_name", "dob", "phone_digits", "phone7", "email", "ssn", "passport",
     "drlic", "national_id", "national_id_country", "addr", "gender",
-    "email_generic", "phone_generic", "addr_generic", "ssn_generic",
+    "email_generic", "email_verygeneric", "phone_generic", "addr_generic", "ssn_generic",
     "passport_generic", "drlic_generic", "nid_generic", "name_generic")
 
   /** -1 = disagree, 0 = not comparable (missing / generic), 1 = agree. */
@@ -163,9 +163,12 @@ object Scoring {
     //    record's "Robert" → …+PNAME).
     val faTok = get(split(a2("given_can"), " "), lit(0))
     val fbTok = get(split(b2("given_can"), " "), lit(0))
+    val truncSet = typedlit(graft.normalize.Normalize.TruncNicknames.toSeq)
+    val shortTok = when(length(faTok) <= length(fbTok), faTok).otherwise(fbTok)
     val xkTrunc = length(faTok) >= 3 && length(fbTok) >= 3 &&
       length(faTok) =!= length(fbTok) &&
-      (startswith(faTok, fbTok) || startswith(fbTok, faTok))
+      (startswith(faTok, fbTok) || startswith(fbTok, faTok)) &&
+      array_contains(truncSet, shortTok)
 
     // a 4-digit SSN is a LAST-4 partial, not a full exclusive id — the
     // reference's rule cascade fires MSTAB_CNAME (matching stabilizers)
@@ -189,12 +192,26 @@ object Scoring {
       a2("given_raw") === b2("given_raw") && sA.isNotNull && sB.isNotNull &&
       (sA === sB || (length(sA) === length(sB) && levenshtein(sA, sB) === 1))
 
+    // raw first-token edit distance: a mid-band given within lev 3
+    // (Mary/Marsha) renders +PNAME in relationship keys while a
+    // longer-range prefix (Anna/Annabelle — a different name, not a
+    // variant) only credits +SURNAME
+    val faRaw = get(split(a2("given_raw"), " "), lit(0))
+    val fbRaw = get(split(b2("given_raw"), " "), lit(0))
+
     val narrow = joined.select(
       col("doc_a"), col("doc_b"),
       coalesce(xkTrunc, lit(false)).as("xk_trunc_raw"),
       coalesce(xkSsnShort, lit(false)).as("xk_ssn_short_raw"),
       coalesce(xkRawSame, lit(false)).as("xk_raw_same_raw"),
       coalesce(xkNidClose, lit(false)).as("xk_nid_close"),
+      levenshtein(faRaw, fbRaw).as("xk_given_lev"),
+      coalesce(length(faRaw) <= 1 || length(fbRaw) <= 1, lit(false))
+        .as("xk_given_init"),
+      coalesce(a2("email").isNotNull && a2("email") === b2("email") &&
+        !a2("email_verygeneric"), lit(false)).as("xk_email_eq"),
+      coalesce(a2("phone7").isNotNull && a2("phone7") === b2("phone7"), lit(false))
+        .as("xk_phone_eq"),
       gs.as("gs_straight"), ss.as("ss_straight"),
       gsSwap.as("gs_swap"), ssSwap.as("ss_swap"),
       least(length(a2("given_raw")), length(b2("given_raw"))).as("min_given_len"),
@@ -300,6 +317,22 @@ object Scoring {
         .when(xkNameCmp, "P")
     val xkSsnShortEq = coalesce(
       col("xk_ssn_short_raw") && col("ssn_cmp") === 1, lit(false))
+    // relationship-band name class (entity-vs-entity key rendering):
+    // NAME for strong agreement or a curated truncation hypocorism
+    // (Pat/Patrick) — but never through the single-initial boost (the
+    // reference scores "Jim" vs an entity holding "J" as surname-only);
+    // PNAME for a close given variant (lev <= 2) over a strong surname;
+    // SURNAME when only the surname holds up
+    val notInit = !col("xk_given_init")
+    val xkRelName =
+      when(nameClass === "NAME" && notInit, "NAME")
+        .when(col("xk_trunc_raw") && ssB.isNotNull && ssB >= 0.88 && notInit,
+          "NAME")
+        .when(nameClass === "PNAME" && notInit, "PNAME")
+        .when(bothFull && ssB >= 0.88 && gsB < 0.92 && notInit &&
+          coalesce(col("xk_given_lev") <= 2, lit(false)), "PNAME")
+        .when(bothFull && ssB >= 0.88, "SURNAME")
+        .when(nameClass === "SURNAME", "SURNAME")
 
     val ptsNamed = Seq(
       nameClass.as("name_class"),
@@ -310,6 +343,8 @@ object Scoring {
       xkNameLvl.as("xk_name_lvl"),
       xkSsnShortEq.as("xk_ssn_short"),
       col("xk_nid_close"),
+      xkRelName.as("xk_rel_name"),
+      col("xk_email_eq"), col("xk_phone_eq"),
       namePts.as("name_pts"), genPts.as("gen_pts"), dobPts.as("dob_pts"),
       phonePts.as("phone_pts"), emailPts.as("email_pts"), ssnPts.as("ssn_pts"),
       passportPts.as("passport_pts"), drlicPts.as("drlic_pts"),
@@ -367,7 +402,8 @@ object Scoring {
       matchKey.as("match_key"),
       level.as("level"),
       col("xk_name_add"), col("xk_name_pname"), col("xk_name_cmp"),
-      col("xk_name_lvl"), col("xk_ssn_short"), col("xk_nid_close"))
+      col("xk_name_lvl"), col("xk_ssn_short"), col("xk_nid_close"),
+      col("xk_rel_name"), col("xk_email_eq"), col("xk_phone_eq"))
       .filter(col("level").isNotNull)
   }
 }

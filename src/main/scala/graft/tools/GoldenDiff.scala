@@ -127,6 +127,7 @@ object GoldenDiff {
                 relMatched += 1
                 if (r.get("MATCH_LEVEL_CODE").asText() == gl) relLevelEq += 1
                 if (r.get("MATCH_KEY").asText() == gk) relKeyEq += 1
+                else keyMiss += s"REL ${members.toSeq.sorted.headOption.getOrElse("?")}->${otherMembers.map(_.toSeq.sorted.headOption.getOrElse("?")).getOrElse("?")}: ours='${r.get("MATCH_KEY").asText()}'(${r.get("MATCH_LEVEL_CODE").asText()}) golden='$gk'($gl)"
                 if (r.get("IS_AMBIGUOUS").asInt() == ga) relAmbEq += 1
               case None => ()
             }
@@ -135,7 +136,7 @@ object GoldenDiff {
     }
     nameMiss.take(8).foreach(m => println(s"  NAME miss: $m"))
     featMiss.take(8).foreach(m => println(s"  FEAT miss: $m"))
-    keyMiss.take(12).foreach(m => println(s"  KEY miss: $m"))
+    keyMiss.take(40).foreach(m => println(s"  KEY miss: $m"))
     Stats(ours.length, clusterEq, nameEq, featEq, sumEq,
       recTotal, recLevelEq, recKeyEq, recErruleEq,
       relTotal, relMatched, relLevelEq, relKeyEq, relAmbEq, relAmbOurs)
