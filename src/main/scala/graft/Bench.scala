@@ -35,7 +35,8 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -93,7 +94,48 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Run one scaling level in a FRESH JVM. A real N-vs-4N comparison is
+    * two separate spark-submit clusters; sharing one JVM lets the first
+    * level's heap/JIT/GC state pollute the second (observed: ±100 s
+    * swings on the level that runs second). The child re-enters this
+    * main in `scale-run` mode and prints one machine-readable line.
+    */
+  private def forkScaleRun(cpus: Int, nEntities: Long): (Long, Double, Double) = {
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ opens ++ Seq(
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.Bench", "scale-run", cpus.toString, nEntities.toString)
+    import scala.sys.process._
+    val out = new StringBuilder
+    val code = Process(cmd).!(ProcessLogger(
+      l => { out.append(l).append('\n'); () }, _ => ()))
+    require(code == 0, s"forked scale run (local[$cpus]) exited $code")
+    val line = out.toString.linesIterator
+      .find(_.startsWith("SCALERUN "))
+      .getOrElse(sys.error(s"no SCALERUN line from local[$cpus] child"))
+      .stripPrefix("SCALERUN ")
+    val p = line.split(",")
+    (p(0).toLong, p(1).toDouble, p(2).toDouble)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length == 3 && args(0) == "scale-run") {
+      val (docs, secs, f1) = timedResolve(args(1).toInt, args(2).toLong)
+      println(f"SCALERUN $docs,$secs%.2f,$f1%.4f")
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "200000").toLong
@@ -113,8 +155,8 @@ object Bench {
 
     // --- two-parallelism ER scaling run (N=2, 4N=8 physical cores) ---
     val scaling = if (skipScaling) "" else {
-      val (nDocsN, tN, f1N) = timedResolve(2, scaleN)
-      val (nDocs4N, t4N, f14N) = timedResolve(8, scaleN)
+      val (nDocsN, tN, f1N) = forkScaleRun(2, scaleN)
+      val (nDocs4N, t4N, f14N) = forkScaleRun(8, scaleN)
       require(nDocsN == nDocs4N && f1N == f14N) // parallelism-invariant
       val thrN = nDocsN / tN
       val thr4N = nDocs4N / t4N

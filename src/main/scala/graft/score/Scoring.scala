@@ -101,7 +101,14 @@ object Scoring {
     // pair table twice. Callers enable it when the feature table fits
     // executor memory (ResolveJob decides from the materialized count);
     // at 10^12 docs the SMJ (or a bucketed co-located join) is the path.
-    val f0 = features.select(scoringColumns.map(col): _*)
+    // prune the addr struct to the two fields the comparators read —
+    // the pair join fans every feature row out ~17×, and at 10^12 pairs
+    // the zip/street/digits payload would ride two shuffles for nothing
+    val f0 = features.select(scoringColumns.map {
+      case "addr" => struct(col("addr.house").as("house"),
+        col("addr.stokens").as("stokens")).as("addr")
+      case c => col(c)
+    }: _*)
     val f = if (broadcastFeatures) broadcast(f0) else f0
     // Fan-out join + a plain column passthrough, then comparators.
     // Fusing the comparator projection into the nested broadcast joins
