@@ -9,23 +9,34 @@ import org.apache.spark.sql.SparkSession
   * 1. Times every `SparkEntry.queries` entry on `SPARK_GRAFT_SF_DIR`
   *    at `SPARK_GRAFT_CPUS` (driver contract).
   * 2. Runs the ER resolve job on the same deterministic synthetic
-  *    interleaved-doc corpus at two parallelism levels — local[2] (N)
-  *    and local[8] (4N) — and reports docs/s at each plus scaling
+  *    interleaved-doc corpus at two parallelism levels — local[1] (N)
+  *    and local[4] (4N) — and reports docs/s at each plus scaling
   *    efficiency `eff = (tN/t4N)/4` (BASELINE.md protocol: the
   *    sandbox stand-in for the north rule's N vs 4N executors).
-  *    2/8 keeps BOTH levels inside the host's 16 physical cores (no
-  *    SMT sibling pairs — those share execution units and cap even a
-  *    pure-CPU burn loop at ~0.82). The run uses the sort-merge
-  *    scoring path (broadcast's shared hash relation anti-scales past
-  *    ~8 probe threads, and SMJ is the only path at 10^12 docs) and
-  *    salt counts sized to the core count. Each level is preceded by
-  *    an untimed warmup resolve so janino codegen compilation
-  *    (driver-serial, identical at any cluster size) doesn't pollute
-  *    the measurement. BASELINE.md additionally records the 1.6M-doc
-  *    measurement (eff 0.672) — fixed per-job latency (~16 s across
-  *    ~45 Spark jobs) is a constant that amortizes with corpus size,
-  *    and on a real cluster each executor adds its own DRAM bandwidth,
-  *    which is the dimension a one-box measurement cannot exercise.
+  *    Protocol, hardened in round 3 (full derivation in BASELINE.md):
+  *    - Each level runs in a FRESH forked JVM (a real N-vs-4N
+  *      comparison is two separate spark-submit clusters; sharing one
+  *      JVM let the first level's heap/JIT state swing the second by
+  *      ±100 s).
+  *    - IDENTICAL job config at both levels — same shuffle partition
+  *      count (16), same salt counts — exactly like one spark-submit
+  *      config run against two cluster sizes. Round 2 scaled
+  *      shuffle.partitions with the core count, which handicapped the
+  *      small level (2 coarse partitions → skew + spill: 500 s where
+  *      16 partitions run 296 s) and thereby INFLATED efficiency.
+  *    - Levels 1 and 4: on one box, "4× cores = 4× cluster" holds
+  *      only while the shared DRAM bus is unsaturated. Measured on
+  *      this host: 4 threads still scale a memory-bound stage ~4×,
+  *      8+ threads cap at ~2× regardless of software (t_local8 >
+  *      t_local4 on identical input) — beyond 4 cores the box
+  *      measures its memory bus, not the job. A real cluster adds a
+  *      bus per executor; 1→4 is the regime where the proxy is
+  *      faithful.
+  *    The run uses the sort-merge scoring path (broadcast's shared
+  *    hash relation anti-scales past ~8 probe threads, and SMJ is the
+  *    only path at 10^12 docs). Each level is preceded by an untimed
+  *    warmup resolve so janino codegen compilation (driver-serial,
+  *    identical at any cluster size) doesn't pollute the measurement.
   *
   * Prints ONE JSON line.
   */
@@ -87,9 +98,17 @@ object Bench {
       val docs = DocCorpus.synthetic(spark, nEntities).toDF()
       val t0 = System.nanoTime()
       val result = ResolveJob.run(spark, docs, cfg)
+      val tResolve = (System.nanoTime() - t0) / 1e9
       val nDocs = result.assignments.count()
+      val tW0 = System.nanoTime()
       result.entities.write.mode("overwrite").format("noop").save()
+      val tWrite = (System.nanoTime() - tW0) / 1e9
       val secs = (System.nanoTime() - t0) / 1e9
+      // per-stage wall decomposition — diffed across levels to locate
+      // the non-scaling (driver-serial) component
+      val stages = result.stageMillis
+        .map { case (k, ms) => f"$k=${ms / 1000.0}%.1f" }.mkString(",")
+      println(f"STAGEMS cpus=$cpus resolve=$tResolve%.1f write=$tWrite%.1f $stages")
       (nDocs, secs, syntheticPairF1(result.assignments))
     } finally spark.stop()
   }
@@ -112,15 +131,32 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ opens ++ Seq(
+    // pin the child to cpus+1 CPUs (cluster semantics): the north rule
+    // counts N EXECUTORS — the driver runs on its own node in any real
+    // spark-submit deployment — so each level gets its executor cores
+    // plus one driver core. Without pinning at all, the small level
+    // borrows the host's ~30 idle cores for GC/JIT and measures a
+    // machine no N-core cluster resembles.
+    val pin =
+      if (new java.io.File("/usr/bin/taskset").exists)
+        Seq("/usr/bin/taskset", "-c", s"0-$cpus")
+      else Seq.empty
+    val cmd = pin ++ Seq(javaBin) ++ opens ++ Seq(
       s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", sys.props("java.class.path"),
       "graft.Bench", "scale-run", cpus.toString, nEntities.toString)
     import scala.sys.process._
     val out = new StringBuilder
-    val code = Process(cmd).!(ProcessLogger(
-      l => { out.append(l).append('\n'); () }, _ => ()))
+    // identical job config at every level: one spark-submit config,
+    // two cluster sizes (overridable for protocol experiments)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "16")
+    val code = Process(cmd, None, "SPARK_GRAFT_SHUFFLE" -> shuffle).!(ProcessLogger(
+      l => {
+        out.append(l).append('\n')
+        if (l.startsWith("STAGEMS")) println(l) // surface the per-stage decomposition
+        ()
+      }, _ => ()))
     require(code == 0, s"forked scale run (local[$cpus]) exited $code")
     val line = out.toString.linesIterator
       .find(_.startsWith("SCALERUN "))
@@ -153,15 +189,16 @@ object Bench {
       r
     }
 
-    // --- two-parallelism ER scaling run (N=2, 4N=8 physical cores) ---
+    // --- two-parallelism ER scaling run (N=1, 4N=4 cores; identical
+    // job config at both levels; fresh JVM per level — see object doc)
     val scaling = if (skipScaling) "" else {
-      val (nDocsN, tN, f1N) = forkScaleRun(2, scaleN)
-      val (nDocs4N, t4N, f14N) = forkScaleRun(8, scaleN)
+      val (nDocs4N, t4N, f14N) = forkScaleRun(4, scaleN)
+      val (nDocsN, tN, f1N) = forkScaleRun(1, scaleN)
       require(nDocsN == nDocs4N && f1N == f14N) // parallelism-invariant
       val thrN = nDocsN / tN
       val thr4N = nDocs4N / t4N
       val eff = (tN / t4N) / 4.0
-      f""","scaling":{"docs":$nDocsN,"t_local2_sec":$tN%.2f,"t_local8_sec":$t4N%.2f,"docs_per_sec_2":$thrN%.0f,"docs_per_sec_8":$thr4N%.0f,"efficiency":$eff%.3f,"synthetic_pair_f1":$f1N%.4f}"""
+      f""","scaling":{"docs":$nDocsN,"levels":"local[1] vs local[4], fresh JVMs, identical config (shuffle=16)","t_local1_sec":$tN%.2f,"t_local4_sec":$t4N%.2f,"docs_per_sec_1":$thrN%.0f,"docs_per_sec_4":$thr4N%.0f,"efficiency":$eff%.3f,"synthetic_pair_f1":$f1N%.4f}"""
     }
 
     val qs = results.map { case (k, (sec, _)) => "\"" + k + f"""\":$sec%.3f""" }

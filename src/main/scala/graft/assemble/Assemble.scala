@@ -273,7 +273,8 @@ object Assemble {
       .withColumn("spans_sorted", array_sort(col("spans"),
         (l, r) => when(l.getField("offset") < r.getField("offset"), -1)
           .when(l.getField("offset") > r.getField("offset"), 1).otherwise(0)))
-      .localCheckpoint(true) // fanned into 4 aggregations below
+      .transform(d => graft.util.Confs.withJobDesc(d.sparkSession)("assemble_docs")(
+        d.localCheckpoint(true))) // fanned into 4 aggregations below
 
     // ---- FEATURES: variant groups per (entity, ftype, canon, usage) ----
     val baseEntries = docs
@@ -288,7 +289,8 @@ object Assemble {
     // ids) — also sidesteps an AQE attribute-resolution bug when the
     // Generate(explode) branch is reused across them
     val entries = ambEntries.fold(baseEntries)(baseEntries.unionByName(_))
-      .localCheckpoint(true)
+      .transform(d => graft.util.Confs.withJobDesc(d.sparkSession)("assemble_entries")(
+        d.localCheckpoint(true)))
 
     val perDesc = entries
       .groupBy("entity_id", "ftype", "canon", "usage", "desc")

@@ -64,14 +64,17 @@ object ConnectedComponents {
       val observed = df.observe(obs,
         count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h"))
-      val out = checkpointDir match {
-        case Some(dir) =>
-          val path = s"$dir/cc_iter_$iter"
-          observed.write.mode("overwrite").parquet(path)
-          spark.read.parquet(path)
-        case None =>
-          observed.localCheckpoint(true)
-      }
+      spark.sparkContext.setJobDescription(s"graft:cc_iter_$iter")
+      val out = try {
+        checkpointDir match {
+          case Some(dir) =>
+            val path = s"$dir/cc_iter_$iter"
+            observed.write.mode("overwrite").parquet(path)
+            spark.read.parquet(path)
+          case None =>
+            observed.localCheckpoint(true)
+        }
+      } finally spark.sparkContext.setJobDescription(null)
       val row = obs.get
       (out, (row("n").asInstanceOf[Long], row("h").asInstanceOf[Long]))
     }
@@ -105,20 +108,45 @@ object ConnectedComponents {
         .distinct()
     }
 
-    var (e, fp) = checkpoint(
-      edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct(), 0)
-    var iter = 0
-    var converged = false
-    val edgeCounts = scala.collection.mutable.ArrayBuffer[Long](fp._1)
-    while (!converged && iter < maxIterations) {
-      iter += 1
-      val (next, nfp) = checkpoint(smallStar(largeStar(e)), iter)
-      converged = nfp == fp
-      fp = nfp
-      edgeCounts += nfp._1
-      e.unpersist()
-      e = next
+    // AQE is scoped OFF for the iteration loop: each iteration is ~6
+    // exchanges over a frame whose keys are skew-free by construction
+    // (groupBy/join on node ids with blocking-capped degree; no hot
+    // key can form), so AQE buys nothing here while charging per-
+    // exchange materialization jobs + re-planning on every iteration —
+    // measured ~0.2-0.5 s of driver-serial latency per job × ~5 jobs ×
+    // iterations, identical at every cluster size.
+    val loop = graft.util.Confs.withConfs(spark)(
+      "spark.sql.adaptive.enabled" -> "false") {
+      var (e, fp) = checkpoint(
+        edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct(), 0)
+      // Iteration parallelism is sized from the OBSERVED edge count
+      // (the first checkpoint's fingerprint), not the cluster-wide
+      // shuffle width: the edge frame is a small projection of the
+      // corpus (ids only), and with AQE off a corpus-sized partition
+      // count turns each ~6-exchange iteration into hundreds of
+      // near-empty tasks (measured: 64 partitions cost the loop 4× at
+      // 225k edges). ~250k edge-rows per task, floor 8; a configured
+      // wider width wins when the edge set is genuinely huge.
+      val curW = spark.conf.get("spark.sql.shuffle.partitions", "16").toInt
+      val loopW = math.min(math.max(8L, fp._1 / 250000L),
+        math.max(16L, curW.toLong)).toString
+      graft.util.Confs.withConfs(spark)("spark.sql.shuffle.partitions" -> loopW) {
+        var iter = 0
+        var converged = false
+        val edgeCounts = scala.collection.mutable.ArrayBuffer[Long](fp._1)
+        while (!converged && iter < maxIterations) {
+          iter += 1
+          val (next, nfp) = checkpoint(smallStar(largeStar(e)), iter)
+          converged = nfp == fp
+          fp = nfp
+          edgeCounts += nfp._1
+          e.unpersist()
+          e = next
+        }
+        (e, iter, edgeCounts)
+      }
     }
+    val (e, iter, edgeCounts) = loop
 
     // At the fixpoint every edge is (node → component-min).
     val roots = e.select(col("dst").as("doc_id"), col("dst").as("entity_id")).distinct()

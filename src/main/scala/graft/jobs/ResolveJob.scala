@@ -57,7 +57,10 @@ object ResolveJob {
       ambiguousDocs: DataFrame,
       ccStats: ConnectedComponents.Stats,
       metrics: Map[String, Long],
-      resumedStages: Seq[String])
+      resumedStages: Seq[String],
+      /** wall millis per materialized stage, insertion-ordered —
+        * feeds the scaling-profile decomposition in Bench/JobGaps */
+      stageMillis: Seq[(String, Long)] = Seq.empty)
 
   def run(spark: SparkSession, docs: DataFrame, cfg: Config = Config()): Result =
     // Catalyst constraint propagation is O(2^n) over the scoring
@@ -75,6 +78,11 @@ object ResolveJob {
     val store = cfg.snapshotRoot.map(new SnapshotStore(_))
     val resumed = scala.collection.mutable.ArrayBuffer[String]()
     val stageRows = scala.collection.mutable.Map[String, Long]()
+    val stageMs = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      try body finally stageMs += name -> ((System.nanoTime() - t0) / 1000000)
+    }
 
     /** Materialize a stage: resume from the store when a committed
       * snapshot exists; otherwise compute, commit (with per-partition
@@ -84,13 +92,15 @@ object ResolveJob {
       * the job's counters cost no extra actions.
       */
     def stage(name: String, extras: (String, org.apache.spark.sql.Column)*)
-        (build: => DataFrame): DataFrame = {
+        (build: => DataFrame): DataFrame = timed(name) {
       // UUID suffix: concurrent runs must not cross-match metrics by name
       val obs = org.apache.spark.sql.Observation(
         s"stage_${name}_${java.util.UUID.randomUUID}")
       def observedCheckpoint(df: DataFrame): DataFrame = {
         val aggs = count(lit(1)).as("rows") +: extras.map { case (k, c) => c.as(k) }
-        val out = df.observe(obs, aggs.head, aggs.tail: _*).localCheckpoint(true)
+        spark.sparkContext.setJobDescription(s"graft:$name")
+        val out = try df.observe(obs, aggs.head, aggs.tail: _*).localCheckpoint(true)
+        finally spark.sparkContext.setJobDescription(null)
         val row = obs.get
         stageRows(name) = row("rows").asInstanceOf[Long]
         extras.foreach { case (k, _) =>
@@ -171,8 +181,12 @@ object ResolveJob {
       assignments
     }
 
-    val entities = Assemble.entities(feats, docsSnap, assignP, edges,
-      cfg.numberEntities, ambiguousDocs = Some(ambDocs))
+    // the two intra-assembly localCheckpoints run eagerly here; the
+    // final report query stays lazy (timed by the caller's action)
+    val entities = timed("assemble_eager") {
+      Assemble.entities(feats, docsSnap, assignP, edges,
+        cfg.numberEntities, ambiguousDocs = Some(ambDocs))
+    }
 
     val metrics = Map(
       "docs" -> nDocs,
@@ -183,6 +197,6 @@ object ResolveJob {
       "cc_iterations" -> ccStats.iterations.toLong)
 
     Result(docsSnap, feats, edges, assignP, entities, ambDocs, ccStats, metrics,
-      resumed.toSeq)
+      resumed.toSeq, stageMs.toSeq)
   }
 }

@@ -134,16 +134,50 @@ object Dedup {
     * fans out only on rare tokens. A length filter (t·|A| ≤ |B|)
     * prunes further. Verification re-joins the shingle sets by id —
     * ids, not texts, move through the candidate shuffle.
+    *
+    * The one corpus shape prefix filtering cannot bound is a giant
+    * clique of docs whose ENTIRE vocabulary is common — in practice,
+    * identical boilerplate repeated millions of times, which makes
+    * every one of its tokens common and every member's prefix the
+    * same hot token. Those docs have IDENTICAL shingle sets, so they
+    * are collapsed to one representative per (block, md5 of the
+    * sorted set) BEFORE the join — the 10M-copy clique costs the
+    * prefix join one row — and verified representative pairs are
+    * expanded back to member pairs afterwards (within-group pairs
+    * have J = 1 by construction). Exact: members of a group are
+    * interchangeable w.r.t. Jaccard, and md5(128-bit) equality over
+    * the canonical sorted set is the same exactness stance as
+    * [[exactDuplicates]]. Near-identical-but-unequal sets don't
+    * collapse, but they differ in a token, and a differing token is
+    * rare in the clique's block, so the prefix ordering (rarest
+    * first) keeps those joins fanned out on the rare tokens.
     */
   def ngramJaccard(
       docs: DataFrame,
       n: Int = 1,
       threshold: Double = 0.6,
       lengthBucket: Int = 100): DataFrame = {
-    val withSets = docs.select(
+    val all = docs.select(
       col("doc_id"), col("lang"),
       (col("n_chars") / lengthBucket).cast("int").as("len_bucket"),
       wordShingles(col("text"), n).as("shingles"))
+
+    // identical-set collapse: group key is (block, canonical-set md5);
+    // only (ids, 128-bit sig) move through this shuffle. "\n" cannot
+    // occur inside a shingle (tokens are \s+-split), so the encoding
+    // is unambiguous.
+    // empty sets are excluded up front: explode() never surfaces them
+    // in the prefix join, so the legacy contract emits no pair for
+    // them — the collapse must not invent J=1 empty-set cliques
+    val sigged = all.filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("lang"), col("len_bucket"),
+        md5(concat_ws("\n", array_sort(col("shingles")))).as("sig"))
+    val grp = sigged.groupBy("lang", "len_bucket", "sig")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"))
+    val docToRep = sigged.join(grp, Seq("lang", "len_bucket", "sig"))
+      .select("doc_id", "rep_id", "grp_n")
+    val withSets = all.join(
+      grp.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
 
     val toks = withSets.select(col("doc_id"), col("lang"), col("len_bucket"),
       size(col("shingles")).as("sz"), explode(col("shingles")).as("t"))
@@ -170,13 +204,28 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
 
     val sets = withSets.select(col("doc_id"), col("shingles"))
-    cand
+    val repPairs = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+    // expand representative pairs back to member pairs; members of the
+    // same group (identical sets, same block) are J = 1 cliques
+    val cross = repPairs
+      .join(docToRep.select(col("rep_id").as("rep_a"), col("doc_id").as("a")), "rep_a")
+      .join(docToRep.select(col("rep_id").as("rep_b"), col("doc_id").as("b")), "rep_b")
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    val intra = docToRep.filter(col("grp_n") >= 2)
+      .select(col("rep_id"), col("doc_id").as("a"))
+      .join(docToRep.select(col("rep_id"), col("doc_id").as("b")), "rep_id")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(intra)
   }
 
   /** MinHash+LSH near-dup groups: shingle → banded minhash → docs

@@ -73,17 +73,25 @@ object Ambiguity {
     def observedCheckpoint(df: DataFrame): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation(
         s"amb_fired_${java.util.UUID.randomUUID}")
-      val out = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      val out = graft.util.Confs.withJobDesc(df.sparkSession)("ambiguity") {
+        df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      }
       (out, obs.get("n").asInstanceOf[Long])
     }
-    val (fired0, nFired0) = observedCheckpoint(tri
+    // AQE scoped OFF for the fixpoint actions: joins key on doc ids
+    // with blocking-capped degree (skew-free by construction), and AQE
+    // charges per-exchange materialization jobs + re-planning on every
+    // round — pure driver-serial latency, identical at any cluster size
+    def ambConfs[T](body: => T): T = graft.util.Confs.withConfs(
+      edges.sparkSession)("spark.sql.adaptive.enabled" -> "false")(body)
+    val (fired0, nFired0) = ambConfs { observedCheckpoint(tri
       .join(ids.as("fu"), col("u") === col("fu.doc_id"))
       .join(ids.as("fv"), col("v") === col("fv.doc_id"))
       .filter(conflictExpr)
       .join(bestResolved, Seq("v"), "left")
       // exemption: d's resolved claim outranks v's best resolved claim
       .filter(col("v_best").isNotNull && col("v_best") >= col("s_u"))
-      .select(col("d"), col("u"), col("v"), conflictType.as("conflict_type")))
+      .select(col("d"), col("u"), col("v"), conflictType.as("conflict_type"))) }
 
     if (nFired0 == 0) {
       val spark = edges.sparkSession
@@ -109,9 +117,9 @@ object Ambiguity {
       prev = nFired
       val amb = fired.select(col("d").as("v")).distinct()
         .withColumn("_vamb", lit(true))
-      val (next, n) = observedCheckpoint(fired0.join(amb, Seq("v"), "left")
+      val (next, n) = ambConfs { observedCheckpoint(fired0.join(amb, Seq("v"), "left")
         .filter(!(coalesce(col("_vamb"), lit(false)) && col("v") < col("d")))
-        .drop("_vamb"))
+        .drop("_vamb")) }
       fired = next
       nFired = n
       iters += 1

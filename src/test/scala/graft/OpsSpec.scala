@@ -107,6 +107,22 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.filter(col("jaccard") === 1.0).count() >= 2)
   }
 
+  test("ngram jaccard: identical-set cliques collapse and expand back exactly") {
+    // 300 verbatim copies — the one shape prefix filtering can't bound
+    // (every token is common) — must cost the prefix join ONE row and
+    // still emit every member pair, plus every pair with the
+    // one-token-off neighbor (9 distinct tokens, 8 shared → J = 0.8)
+    val boiler = "spark dedup boilerplate shared verbatim across the corpus fleet"
+    val near = boiler.replace("fleet", "navy")
+    val df = ((0 until 300).map(i => (4000000L + i, boiler, "en", boiler.length)) :+
+      ((4100000L, near, "en", near.length)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = Dedup.ngramJaccard(df, threshold = 0.6).localCheckpoint(true)
+    assert(pairs.filter(col("jaccard") === 1.0).count() == 300L * 299 / 2)
+    assert(pairs.count() == 300L * 299 / 2 + 300)
+    assert(pairs.filter(col("doc_b") === 4100000L).count() == 300)
+  }
+
   test("brute-force ANN matches a driver-side exact oracle") {
     val topk = Similarity.bruteForceTopK(embeddings, Seq(0L), k = 5)
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
