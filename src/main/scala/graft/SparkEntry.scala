@@ -240,6 +240,12 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.ngramJaccard(t(dir, "documents"), n = 1, threshold = 0.5)
     }),
+    // near-dup GROUPS: exact pairs -> transitive closure -> canonical
+    // per group; full composition oracle-checked (recursive CTE)
+    "dd_dedup_groups" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.nearDupGroups(s, t(dir, "documents"), n = 1, threshold = 0.5)
+    }),
     "dd_simhash" -> ((s, dir) => { // custom kernel — rows-only
       implicit val sp: SparkSession = s
       Dedup.simhash(t(dir, "documents"))
@@ -409,6 +415,34 @@ object SparkEntry {
          SELECT h.doc_id, h.content_hash, c.canonical_doc_id, c.group_size,
            h.doc_id = c.canonical_doc_id AS is_canonical
          FROM hashed h JOIN canon c USING (content_hash)""",
+    "dd_dedup_groups" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, lang, CAST(floor(n_chars / 100) AS INT) AS len_bucket,
+             list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+               AS shingles
+           FROM documents
+         ), prs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM d a JOIN d b
+             ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+         ), e AS (
+           SELECT doc_a AS u, doc_b AS v FROM prs
+           UNION SELECT doc_b, doc_a FROM prs
+           UNION SELECT doc_id, doc_id FROM documents
+         ), reach AS (
+           SELECT u, v FROM e
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+         ), assign AS (
+           SELECT u AS doc_id, min(v) AS group_id FROM reach GROUP BY u
+         ), sizes AS (
+           SELECT group_id, count(*) AS group_size FROM assign GROUP BY group_id
+         )
+         SELECT a.doc_id, a.group_id, s.group_size,
+           a.doc_id = a.group_id AS is_canonical
+         FROM assign a JOIN sizes s USING (group_id)""",
     "dd_ngram_jaccard" ->
       """WITH d AS (
            SELECT doc_id, lang, CAST(floor(n_chars / 100) AS INT) AS len_bucket,

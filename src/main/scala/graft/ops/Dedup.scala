@@ -398,4 +398,38 @@ object Dedup {
   def planesFor(n: Long, targetPerBucket: Int = 256): Int =
     math.max(4, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetPerBucket)) / math.log(2.0)).toInt)
+
+  /** Near-duplicate GROUPS — the operator a training-data pipeline
+    * actually runs end-to-end: exact n-gram-Jaccard pairs
+    * ([[ngramJaccard]]) as edges → transitive closure
+    * (graft.cluster.ConnectedComponents, the same large-star/small-star
+    * loop the ER path uses) → one row per doc with its group id (min
+    * doc_id of the component), the group size, and `is_canonical`
+    * (keep canonical rows, drop the rest). Docs with no near-dup edge
+    * are their own singleton group. Fully SQL-expressible, so the
+    * whole composition is DuckDB-oracle-checked (recursive-CTE
+    * closure) — see SparkEntry.oracleSql("dd_dedup_groups").
+    */
+  def nearDupGroups(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      n: Int = 1,
+      threshold: Double = 0.6,
+      lengthBucket: Int = 100): DataFrame = {
+    // CC labels are lexicographic-min STRINGS (collision-free at any
+    // scale) — zero-pad the numeric ids so string order == numeric
+    // order, cast back after.
+    def pad(x: Column): Column = lpad(x.cast("string"), 12, "0")
+    val edges = ngramJaccard(docs, n, threshold, lengthBucket)
+      .select(pad(col("doc_a")).as("doc_a"), pad(col("doc_b")).as("doc_b"))
+    val ids = docs.select(pad(col("doc_id")).as("doc_id"))
+    val (assign, _) =
+      graft.cluster.ConnectedComponents.assign(spark, ids, edges)
+    val g = assign.select(col("doc_id").cast("long").as("doc_id"),
+      col("entity_id").cast("long").as("group_id"))
+    val sizes = g.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+    g.join(sizes, "group_id")
+      .select(col("doc_id"), col("group_id"), col("group_size"),
+        (col("doc_id") === col("group_id")).as("is_canonical"))
+  }
 }

@@ -123,6 +123,24 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.filter(col("doc_b") === 4100000L).count() == 300)
   }
 
+  test("near-dup groups: clique + chain collapse transitively; canonical is min id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (10L, base), (11L, base),                       // exact pair
+      (12L, base.replace("kappa", "lambda")),         // near 10/11 (J=9/11)
+      (20L, "one two three four five six seven eight nine ten"),
+      (30L, "completely different words with no overlap at all whatsoever totally")
+    ).map { case (id, t) => (id, t, "en", t.length) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val g = Dedup.nearDupGroups(spark, df, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(g(10L) == ((10L, 3L, true)))   // 10,11,12 one group via transitivity
+    assert(g(11L) == ((10L, 3L, false)))
+    assert(g(12L) == ((10L, 3L, false)))
+    assert(g(20L) == ((20L, 1L, true)))   // singletons
+    assert(g(30L) == ((30L, 1L, true)))
+  }
+
   test("brute-force ANN matches a driver-side exact oracle") {
     val topk = Similarity.bruteForceTopK(embeddings, Seq(0L), k = 5)
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
