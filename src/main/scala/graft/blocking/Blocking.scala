@@ -112,7 +112,14 @@ object Blocking {
     * down-sampled first) — see the tier design in the object doc.
     * Returns (doc_a, doc_b) distinct.
     */
-  def candidatePairs(blocks: DataFrame, cfg: Config = Config()): DataFrame = {
+  def candidatePairs(blocks0: DataFrame, cfg: Config = Config()): DataFrame = {
+    // the self-join + distinct move every block row twice; hash the key
+    // strings (LSH bands, soundex×dob composites) to 64-bit longs first
+    // so the shuffles carry 8 bytes, not ~20-40-char strings. A hash
+    // collision merges two blocks — it can only ADD candidate pairs
+    // (scoring rejects them), never lose one, and pairs sharing a real
+    // key still share the hashed key.
+    val blocks = blocks0.select(xxhash64(col("bkey")).as("bkey"), col("doc_id"))
     val hot = hotKeys(blocks, cfg)
       .withColumn("keep_mod",
         when(col("count") > cfg.megaCap,
