@@ -157,6 +157,39 @@ object Dedup {
       n: Int = 1,
       threshold: Double = 0.6,
       lengthBucket: Int = 100): DataFrame = {
+    val r = ngramRepPairs(docs, n, threshold, lengthBucket)
+
+    // expand representative pairs back to member pairs; members of the
+    // same group (identical sets, same block) are J = 1 cliques
+    val cross = r.repPairs
+      .join(r.docToRep.select(col("rep_id").as("rep_a"), col("doc_id").as("a")), "rep_a")
+      .join(r.docToRep.select(col("rep_id").as("rep_b"), col("doc_id").as("b")), "rep_b")
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    val intra = r.docToRep.filter(col("grp_n") >= 2)
+      .select(col("rep_id"), col("doc_id").as("a"))
+      .join(r.docToRep.select(col("rep_id"), col("doc_id").as("b")), "rep_id")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(intra)
+  }
+
+  /** Collapsed intermediate of [[ngramJaccard]]: the doc→representative
+    * map (one rep per identical-shingle-set group within a block) and
+    * the verified representative-level pairs. [[nearDupGroups]]
+    * consumes this directly — connectivity needs only member→rep star
+    * edges plus rep-level pairs, never the quadratic member-pair
+    * expansion (a 10M-copy boilerplate clique contributes 10M star
+    * edges to the closure, not 5·10^13 pairs).
+    */
+  private final case class NgramRep(docToRep: DataFrame, repPairs: DataFrame)
+
+  private def ngramRepPairs(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      lengthBucket: Int): NgramRep = {
     val all = docs.select(
       col("doc_id"), col("lang"),
       (col("n_chars") / lengthBucket).cast("int").as("len_bucket"),
@@ -211,21 +244,7 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-
-    // expand representative pairs back to member pairs; members of the
-    // same group (identical sets, same block) are J = 1 cliques
-    val cross = repPairs
-      .join(docToRep.select(col("rep_id").as("rep_a"), col("doc_id").as("a")), "rep_a")
-      .join(docToRep.select(col("rep_id").as("rep_b"), col("doc_id").as("b")), "rep_b")
-      .select(least(col("a"), col("b")).as("doc_a"),
-        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
-    val intra = docToRep.filter(col("grp_n") >= 2)
-      .select(col("rep_id"), col("doc_id").as("a"))
-      .join(docToRep.select(col("rep_id"), col("doc_id").as("b")), "rep_id")
-      .filter(col("a") < col("b"))
-      .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        lit(1.0).as("jaccard"))
-    cross.union(intra)
+    NgramRep(docToRep, repPairs)
   }
 
   /** MinHash+LSH near-dup groups: shingle → banded minhash → docs
@@ -420,8 +439,14 @@ object Dedup {
     // scale) — zero-pad the numeric ids so string order == numeric
     // order, cast back after.
     def pad(x: Column): Column = lpad(x.cast("string"), 12, "0")
-    val edges = ngramJaccard(docs, n, threshold, lengthBucket)
-      .select(pad(col("doc_a")).as("doc_a"), pad(col("doc_b")).as("doc_b"))
+    // connectivity needs star edges (member -> group rep) + rep-level
+    // pairs, NOT the quadratic member-pair expansion: same components,
+    // linear edge count even for giant identical-boilerplate cliques
+    val r = ngramRepPairs(docs, n, threshold, lengthBucket)
+    val edges = r.docToRep.filter(col("doc_id") =!= col("rep_id"))
+      .select(pad(col("doc_id")).as("doc_a"), pad(col("rep_id")).as("doc_b"))
+      .unionAll(r.repPairs
+        .select(pad(col("rep_a")).as("doc_a"), pad(col("rep_b")).as("doc_b")))
     val ids = docs.select(pad(col("doc_id")).as("doc_id"))
     val (assign, _) =
       graft.cluster.ConnectedComponents.assign(spark, ids, edges)
