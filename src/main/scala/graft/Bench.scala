@@ -265,7 +265,7 @@ object Bench {
       val thrN = nDocsN / tN
       val thr4N = nDocs4N / t4N
       val eff = (tN / t4N) / 4.0
-      f""","scaling":{"docs":$nDocsN,"levels":"local[1] vs local[4], fresh JVM per level pinned to N+1 CPUs, identical config (shuffle=16, ParallelGC); one-box lower bound on real N-vs-4N executor scaling — derivation in BASELINE.md","t_n1_sec":$tN%.2f,"t_n4_sec":$t4N%.2f,"docs_per_sec_1":$thrN%.0f,"docs_per_sec_4":$thr4N%.0f,"efficiency":$eff%.3f,"synthetic_pair_f1":$f1N%.4f}"""
+      f""","scaling":{"docs":$nDocsN,"levels":"local[1] vs local[4], fresh JVM per level pinned to N+1 CPUs, identical config (shuffle=16, ParallelGC); one-box lower bound on real N-vs-4N executor scaling; derivation in BASELINE.md","t_n1_sec":$tN%.2f,"t_n4_sec":$t4N%.2f,"docs_per_sec_1":$thrN%.0f,"docs_per_sec_4":$thr4N%.0f,"efficiency":$eff%.3f,"synthetic_pair_f1":$f1N%.4f}"""
     }
 
     val qs = results.map { case (k, (sec, _)) => "\"" + k + f"""\":$sec%.3f""" }
