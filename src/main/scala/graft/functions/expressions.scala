@@ -117,42 +117,61 @@ case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int)
 
 /** Integer-quantized cosine similarity (scale-1000 by default) —
   * bit-identical to the quantized DuckDB oracle arithmetic.
+  *
+  * Ragged pairs (length(a) != length(b) — truncated/dirty vectors) are
+  * NULL, matching the zip_with null-pad semantics this kernel replaced:
+  * a similarity filter then drops the pair instead of comparing against
+  * out-of-bounds garbage.
   */
 case class CosineQuantized(left: Expression, right: Expression, scale: Int)
     extends BinaryExpression {
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_quantized"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecSim.cosineQuantized(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      isFloat(left), isFloat(right), scale)
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (aa.numElements() != bb.numElements()) null
+    else VecSim.cosineQuantized(aa, bb, isFloat(left), isFloat(right), scale)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecSim.cosineQuantized($a, $b, ${isFloat(left)}, ${isFloat(right)}, $scale)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VecSim.cosineQuantized($a, $b, ${isFloat(left)}, ${isFloat(right)}, $scale);
+         |}""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
-/** Plain double cosine similarity over embedding arrays. */
+/** Plain double cosine similarity over embedding arrays. Ragged pairs
+  * are NULL (see [[CosineQuantized]]).
+  */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecSim.cosine(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      isFloat(left), isFloat(right))
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (aa.numElements() != bb.numElements()) null
+    else VecSim.cosine(aa, bb, isFloat(left), isFloat(right))
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecSim.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VecSim.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |}""".stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -128,7 +128,13 @@ object ResolveJob {
     // configured (resumability): Spark sources are re-scannable by
     // contract, and the two consumers (normalize, assembly's span
     // join) each prune to the columns they need — a third full
-    // materialization pass buys nothing without resume.
+    // materialization pass buys nothing without resume. INPUT
+    // CONTRACT: `docs` must be stable across scans (a table snapshot,
+    // file source, or checkpointed frame — the engine's Iceberg-
+    // snapshot data model). A frame that can change between scans
+    // (non-deterministic exprs, a table under concurrent writes)
+    // needs a snapshotRoot or a caller-side localCheckpoint, else
+    // normalize and the span join could see different versions.
     val docsSnap = store.fold(docs)(_ => stage("docs")(docs))
     val featsRaw = stage("features_raw")(Normalize.features(docsSnap))
     val feats = stage("features")(Generic.withGenericFlags(featsRaw, cfg.generic))

@@ -288,24 +288,6 @@ object Normalize {
 
     val phoneDigits = digitsOf(spanText(sp, "phone_number"))
 
-    // display name from the richest raw material available; a
-    // generation ordinal embedded in the first-name field renders after
-    // the surname ("Morris I" + "Klein" → "Morris Klein I", matching
-    // the reference's display form), and parentheses are dropped
-    val dispFirst = trim(coalesce(spanText(sp, "primary_name_first"), spanText(sp, "name_first")))
-    val dispLast = trim(coalesce(spanText(sp, "primary_name_last"), spanText(sp, "name_last")))
-    val dToks = split(dispFirst, " +")
-    val dGen = when(size(dToks) >= 2 &&
-      array_contains(genSet, lower(element_at(dToks, -1))), element_at(dToks, -1))
-    val dFirstBase = when(dGen.isNotNull,
-      array_join(slice(dToks, lit(1), size(dToks) - 1), " ")).otherwise(dispFirst)
-    val display = regexp_replace(coalesce(
-      when(dispFirst.isNotNull || dispLast.isNotNull,
-        concat_ws(" ", dFirstBase, dispLast, dGen)),
-      trim(spanText(sp, "primary_name_full")),
-      trim(coalesce(spanText(sp, "primary_name_org"), spanText(sp, "secondary_name_org"))),
-      native), "[()]", "")
-
     val genderRaw = upper(trim(spanText(sp, "gender")))
 
     // spans deliberately NOT carried: the feature table is checkpointed
@@ -323,7 +305,6 @@ object Normalize {
       generation.as("generation"),
       surname.as("surname"),
       org.as("org_name"),
-      display.as("name_display"),
       parseDob(spanText(sp, "date_of_birth")).as("dob"),
       phoneDigits.as("phone_digits"),
       when(length(phoneDigits) >= 7, substring(phoneDigits, -7, 7)).as("phone7"),

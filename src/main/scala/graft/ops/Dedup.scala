@@ -230,10 +230,13 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val r = prefixes.select(col("lang"), col("len_bucket"), col("t"),
       col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    // the same ε guards the exact-integer boundary here: at t=0.55,
+    // |A|=20, |B|=11 the product is 11.000000000000001 > 11 and a
+    // J-exactly-t pair would be pruned before verification
     val cand = l.join(r, Seq("lang", "len_bucket", "t"))
       .filter(col("doc_a") < col("doc_b") &&
-        lit(threshold) * col("sz_a") <= col("sz_b") &&
-        lit(threshold) * col("sz_b") <= col("sz_a"))
+        lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b") &&
+        lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a"))
       .select("doc_a", "doc_b").distinct()
 
     val sets = withSets.select(col("doc_id"), col("shingles"))
@@ -437,8 +440,10 @@ object Dedup {
       lengthBucket: Int = 100): DataFrame = {
     // CC labels are lexicographic-min STRINGS (collision-free at any
     // scale) — zero-pad the numeric ids so string order == numeric
-    // order, cast back after.
-    def pad(x: Column): Column = lpad(x.cast("string"), 12, "0")
+    // order, cast back after. 19 digits covers every non-negative
+    // int64 (lpad TRUNCATES over-width input, so the pad width must
+    // never be less than the widest possible id).
+    def pad(x: Column): Column = lpad(x.cast("string"), 19, "0")
     // connectivity needs star edges (member -> group rep) + rep-level
     // pairs, NOT the quadratic member-pair expansion: same components,
     // linear edge count even for giant identical-boilerplate cliques

@@ -221,7 +221,6 @@ object Scoring {
         .as("xk_phone_eq"),
       gs.as("gs_straight"), ss.as("ss_straight"),
       gsSwap.as("gs_swap"), ssSwap.as("ss_swap"),
-      least(length(a2("given_raw")), length(b2("given_raw"))).as("min_given_len"),
       (a2("generation").isNotNull && b2("generation").isNotNull &&
         a2("generation") =!= b2("generation")).as("gen_conflict"),
       (a2("name_generic") || b2("name_generic")).as("name_common"),

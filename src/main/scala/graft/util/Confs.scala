@@ -7,6 +7,13 @@ import org.apache.spark.sql.SparkSession
   * altered after it returns (round-1 ADVICE: ResolveJob clobbered a
   * caller's `spark.sql.codegen.wholeStage` with literal "true" and
   * left constraint propagation off permanently).
+  *
+  * SQL confs are per-SparkSession state, so a conf window is scoped to
+  * the session, NOT to the pipeline that opened it: two pipelines
+  * interleaving conf windows on ONE session can restore each other's
+  * values mid-stage. Concurrent pipelines must use isolated sessions
+  * (`spark.newSession()` shares the SparkContext but not SQL conf) and
+  * build their frames from that session's reads.
   */
 object Confs {
 

@@ -229,6 +229,55 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.frameSample(wm).count() > 0)
   }
 
+  test("cosine kernels: ragged vector pair → null, not out-of-bounds garbage") {
+    import graft.functions.GraftFunctions
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), Seq(1.0f, 0.0f, 0.0f)), // aligned
+      (2L, Seq(1.0f, 0.0f, 0.0f), Seq(1.0f, 0.0f)),       // b truncated
+      (3L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f, 0.0f))        // b longer
+    ).toDF("id", "a", "b")
+      .select(col("id"),
+        GraftFunctions.cosine_sim(col("a"), col("b")).as("cos"),
+        GraftFunctions.cosine_quantized(col("a"), col("b")).as("cosq"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(df(1L) == ((Some(1.0), Some(1.0))))
+    assert(df(2L) == ((None, None)))
+    assert(df(3L) == ((None, None)))
+  }
+
+  test("ngram jaccard: pair with J exactly at the threshold survives the length prune") {
+    // |A| = 20 distinct words, B = 11 of them: J = 11/20 = 0.55. The
+    // length filter computes 0.55 * 20 = 11.000000000000001 — without
+    // the ε guard the candidate is pruned BEFORE verification and an
+    // exactly-at-threshold pair that the oracle emits goes missing.
+    val wordsA = (1 to 20).map(i => f"w$i%02d")
+    val a = wordsA.mkString(" ")
+    val b = wordsA.take(11).mkString(" ")
+    val df = Seq((1L, a), (2L, b)).map { case (id, t) => (id, t, "en", 50) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = Dedup.ngramJaccard(df, threshold = 0.55).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
+
+  test("near-dup groups: 13-digit doc ids don't collide in the padded CC label space") {
+    // lpad truncates over-width input — a 12-char pad would collapse
+    // distinct ids 5000000000123/5000000000124 onto one CC node
+    val df = Seq(
+      (5000000000123L, "first distinct document body with its own words"),
+      (5000000000124L, "second body sharing absolutely nothing relevant here"),
+      (9999999999991L, "identical large id duplicate text body"),
+      (9999999999992L, "identical large id duplicate text body")
+    ).map { case (id, t) => (id, t, "en", t.length) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val g = Dedup.nearDupGroups(spark, df, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(g(5000000000123L) == ((5000000000123L, 1L, true)))
+    assert(g(5000000000124L) == ((5000000000124L, 1L, true)))
+    assert(g(9999999999991L) == ((9999999999991L, 2L, true)))
+    assert(g(9999999999992L) == ((9999999999991L, 2L, false)))
+  }
+
   test("fingerprints: md5 matches a reference value; winnow is shift-robust-ish") {
     val one = Seq((1L, "Hello  World")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(one).head()
