@@ -120,37 +120,12 @@ object Blocking {
     // (scoring rejects them), never lose one, and pairs sharing a real
     // key still share the hashed key.
     val blocks = blocks0.select(xxhash64(col("bkey")).as("bkey"), col("doc_id"))
-    val hot = hotKeys(blocks, cfg)
-      .withColumn("keep_mod",
-        when(col("count") > cfg.megaCap,
-          ceil(col("count").cast("double") / cfg.megaCap).cast("long")))
-      .select("bkey", "keep_mod")
-
-    val cold = blocks.join(broadcast(hot), Seq("bkey"), "left_anti")
-    val l = cold.select(col("bkey"), col("doc_id").as("doc_a"))
-    val r = cold.select(col("bkey"), col("doc_id").as("doc_b"))
-    val coldPairs = l.join(r, Seq("bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-
-    // hot tier: mega keys down-sampled, then a one-sided salted
-    // self-join — left row lands in ONE salt bucket, right row is
-    // replicated to ALL buckets, so every pair appears exactly once
-    // while the per-key work is spread over `salts` tasks.
-    val hotBlocks = blocks.join(broadcast(hot), Seq("bkey"))
-      .filter(col("keep_mod").isNull ||
-        pmod(xxhash64(col("doc_id")), col("keep_mod")) === 0)
-      .select("bkey", "doc_id")
-    val hl = hotBlocks.select(col("bkey"),
-      pmod(xxhash64(col("doc_id")), lit(cfg.salts.toLong)).as("salt"),
-      col("doc_id").as("doc_a"))
-    val hr = hotBlocks.select(col("bkey"),
-      explode(typedlit((0L until cfg.salts.toLong).toArray)).as("salt"),
-      col("doc_id").as("doc_b"))
-    val hotPairs = hl.join(hr, Seq("bkey", "salt"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-
-    coldPairs.unionAll(hotPairs).distinct()
+    // ONE implementation of the three-tier discipline, shared with the
+    // dedup/ANN candidate joins — expression-identical to the inlined
+    // round-2 body (same xxhash64 salting and keep_mod arithmetic), so
+    // the emitted pair set is unchanged; the shared path also logs
+    // mega-key down-sampling (never silent).
+    graft.ops.Dedup.boundedSelfJoinPairs(blocks, Seq("bkey"), "doc_id",
+      graft.ops.Dedup.BlockBounds(cfg.maxBlockSize, cfg.megaCap, cfg.salts))
   }
 }
