@@ -534,7 +534,10 @@ object SparkEntry {
              len(list_filter(w, x -> x IN ('的','是','在','了','我'))) AS h_zh
            FROM toks)
          SELECT doc_id, lang,
-           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+           -- coalesce: NULL text yields NULL hit counts; Spark's
+           -- when(hits > 0).otherwise('und') emits 'und' there, and a
+           -- bare CASE would fall through every NULL WHEN to ELSE 'zh'
+           CASE WHEN coalesce(greatest(h_de, h_en, h_es, h_fr, h_zh), 0) = 0 THEN 'und'
                 WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
                 WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
                 WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'

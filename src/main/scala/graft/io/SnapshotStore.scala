@@ -31,11 +31,16 @@ final class SnapshotStore(root: String) {
   def snapshots(table: String): Seq[Long] = {
     val dir = manifestDir(table)
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
-      .toSeq.sorted
+    // Files.list holds an open DirectoryStream — close it, or a
+    // long-running streaming driver leaks one fd per store call
+    val s = Files.list(dir)
+    try {
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").toLong)
+        .toSeq.sorted
+    } finally s.close()
   }
 
   def latestSnapshot(table: String): Option[Long] = snapshots(table).lastOption

@@ -273,7 +273,11 @@ object Dedup {
       explode(GraftFunctions.minhash_band_keys(
         lower(col("text")), shingleChars, bands, rows)).as("band"))
     val cand = boundedSelfJoinPairs(keyed, Seq("band"), "doc_id", bounds)
-    val sets = docs.select(col("doc_id"), wordShingles(col("text"), 1).as("sh"))
+    // verify on LOWERCASED shingles — banding hashes lower(text), so a
+    // case-sensitive verify would band case-variant near-dups together
+    // and then wrongly reject them (the portable twin below lowercases
+    // both sides already)
+    val sets = docs.select(col("doc_id"), wordShingles(lower(col("text")), 1).as("sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -232,9 +232,13 @@ object Scoring {
       cmp3(a2("passport"), b2("passport"), a2("passport_generic")).as("passport_cmp"),
       cmp3(a2("drlic"), b2("drlic"), a2("drlic_generic")).as("drlic_cmp"),
       cmp3(a2("national_id"), b2("national_id"), a2("nid_generic")).as("nid_cmp"),
+      // BOTH sides' generic flags: the flag is keyed on (house, first
+      // street token), which can differ between two matching addresses
+      // — a one-sided check would make suppression depend on which doc
+      // sorted as doc_a (order-dependent scoring)
       (a2("addr.house").isNotNull && a2("addr.house") === b2("addr.house") &&
         size(array_intersect(a2("addr.stokens"), b2("addr.stokens"))) >= 1 &&
-        !a2("addr_generic")).as("addr_eq"),
+        !a2("addr_generic") && !b2("addr_generic")).as("addr_eq"),
       cmp3(a2("gender"), b2("gender"), lit(false)).as("gender_cmp"),
       (a2("record_type").isNotNull && b2("record_type").isNotNull &&
         a2("record_type") =!= b2("record_type")).as("type_block"))

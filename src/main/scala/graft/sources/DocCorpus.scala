@@ -53,7 +53,11 @@ object DocCorpus {
       val kv = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       while (p.nextToken() == JsonToken.FIELD_NAME) {
         val k = p.currentName()
-        p.nextToken()
+        val t = p.nextToken()
+        // the reference contract is FLAT string-valued records
+        // (SURVEY §1.1); a nested value would mis-tokenize the rest of
+        // the line — quarantine the record instead
+        if (t == JsonToken.START_OBJECT || t == JsonToken.START_ARRAY) return None
         kv += ((k, p.getValueAsString))
       }
       val m = kv.toMap
@@ -62,8 +66,10 @@ object DocCorpus {
       var spans = kv.zipWithIndex.map { case ((k, v), i) =>
         Span(kind = k.toLowerCase, text = v, media_ref = null, offset = i)
       }.toVector
+      // length guard: rid.toLong throws (killing the whole read, not
+      // quarantining) past 18 digits; such ids just get no media span
       val rid = m("RECORD_ID").filter(_.isDigit)
-      if (addMedia && rid.nonEmpty && rid.toLong % 7 == 0)
+      if (addMedia && rid.nonEmpty && rid.length <= 18 && rid.toLong % 7 == 0)
         spans = spans :+ Span("photo", null, s"m://$docId/0", spans.size)
       Some(Doc(docId, spans))
     }

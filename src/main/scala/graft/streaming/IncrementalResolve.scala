@@ -117,8 +117,15 @@ object IncrementalResolve {
       val (t, n) = observedCount(newDocs0)
       (t, t, n)
     }
+    // NOTE: the docs snapshot is committed LAST (end of this method).
+    // The content-hash dedup above keys off the PREVIOUS docs snapshot,
+    // so committing docs only after every derived table makes a crashed
+    // batch re-runnable: redelivery sees the batch docs as touched and
+    // recomputes every derived row idempotently (each merge below is
+    // snapshot.anti-join(touched) + recomputed rows). Committing docs
+    // first would turn the redelivered batch into a content-hash no-op
+    // and silently drop it from features/edges/assignments.
     val docsSnap = allDocs.localCheckpoint(true)
-    store.commit(docsSnap, "docs")
     val touchedIds = touched.select("doc_id").localCheckpoint(true)
 
     // normalize ONLY the touched docs (the per-row CPU-heavy stage);
@@ -171,11 +178,14 @@ object IncrementalResolve {
     val edges = if (store.exists("edges")) {
       // old↔old edges not touching a changed doc stay valid; every edge
       // incident to a changed/new doc is invalidated and re-scored
+      // prev excludes every edge incident to a touched doc, and every
+      // newEdge touches a touched doc — the sets are disjoint by
+      // construction, so a plain union suffices (an anti-join here
+      // would shuffle the whole carried edge set to remove zero rows)
       val prev = store.read(spark, "edges")
         .join(touchedIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
         .join(touchedIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
-      prev.join(newEdges.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
-        .unionByName(newEdges)
+      prev.unionByName(newEdges)
     } else newEdges
     val edgesSnap = edges.localCheckpoint(true)
     store.commit(edgesSnap, "edges") // RAW scores; ambiguity re-derives
@@ -244,6 +254,8 @@ object IncrementalResolve {
       SnapshotDiff.affectedEntities(prev, assignSnap)
     } else assignSnap.select("entity_id").distinct()
     store.commit(assignSnap, "assignments")
+    // docs commit LAST — the batch-atomicity marker (see note above)
+    store.commit(docsSnap, "docs")
 
     BatchResult(assignSnap, affected, nTouched, nTouched, nCcVerts)
   }

@@ -182,4 +182,19 @@ class FixtureResolveSpec extends AnyFunSuite {
     assert(DocCorpus.fromFlatJsonl(spark, tmp.toString).count() == 1)
     assert(DocCorpus.quarantineFromFlatJsonl(spark, tmp.toString).count() == 2)
   }
+
+  test("quarantine: nested values and over-long numeric ids never crash the read") {
+    val tmp = java.nio.file.Files.createTempFile("edge", ".jsonl")
+    java.nio.file.Files.writeString(tmp,
+      // nested object value → flat-record contract violated → quarantine
+      "{\"DATA_SOURCE\":\"X\",\"RECORD_ID\":\"1\",\"ADDR\":{\"city\":\"LV\"}}\n" +
+        // 20-digit RECORD_ID: rid.toLong would overflow; record reads
+        // fine, just no synthetic media span
+        "{\"DATA_SOURCE\":\"X\",\"RECORD_ID\":\"12345678901234567890\"}\n")
+    val good = DocCorpus.fromFlatJsonl(spark, tmp.toString).collect()
+    assert(good.length == 1)
+    assert(good.head.doc_id == "X:12345678901234567890")
+    assert(!good.head.spans.exists(_.kind == "photo"))
+    assert(DocCorpus.quarantineFromFlatJsonl(spark, tmp.toString).count() == 1)
+  }
 }

@@ -96,6 +96,30 @@ class IncrementalResolveSpec extends AnyFunSuite {
     assert(storedB == "ZWIRN")
   }
 
+  test("crashed batch is repaired by redelivery: docs snapshot commits LAST") {
+    // worst-case crash point under the commit ordering: every DERIVED
+    // table committed for batch 2, the docs snapshot not yet — i.e.
+    // the instant before the final commit. (The old ordering committed
+    // docs FIRST, so this state made the redelivered batch a
+    // content-hash no-op and silently dropped it from assignments.)
+    val docs = DocCorpus.fromFlatJsonl(spark, FixtureEval.CustomersPath).collect().toSeq
+    val (b1, b2) = docs.splitAt(90)
+    val tmp = java.nio.file.Files.createTempDirectory("incstore6").toString
+    val store = new SnapshotStore(tmp)
+    IncrementalResolve.processBatch(spark, store, b1.toDF())
+    val clean = IncrementalResolve.processBatch(spark, store, b2.toDF())
+    // fabricate the crash: roll back ONLY docs to its batch-1 snapshot
+    val docsManifests = java.nio.file.Paths.get(tmp, "docs", "_manifests")
+    val latest = store.snapshots("docs").max
+    java.nio.file.Files.delete(docsManifests.resolve(s"$latest.json"))
+    // redelivery of batch 2 must repair the store to the clean state
+    val repaired = IncrementalResolve.processBatch(spark, store, b2.toDF())
+    assert(repaired.newDocs == b2.size, "rolled-back docs must count as touched again")
+    assert(assignMap(repaired.assignments) == assignMap(clean.assignments),
+      "redelivered crashed batch must reproduce the clean result")
+    assert(assignMap(store.read(spark, "assignments")) == assignMap(clean.assignments))
+  }
+
   test("structured streaming end-to-end via MemoryStream + foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val docs = DocCorpus.fromFlatJsonl(spark, FixtureEval.CustomersPath).collect().toSeq

@@ -41,6 +41,17 @@ class OpsSpec extends AnyFunSuite {
       col("doc_b") === origId + 2000000).count() == 1)
   }
 
+  test("minhash near-dup pairs: case-variant near-dups are found (band and verify both lowercase)") {
+    // banding hashes lower(text); a case-SENSITIVE verify would band
+    // these together and then reject them with jaccard 0
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, base), (2L, "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta Iota Kappa"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, threshold = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
   test("simhash slicing guarantees recall up to maxHamming (pigeonhole)") {
     // adversarial pair: 8 differing bits, one in each 8-bit region —
     // round-2's four 16-bit slices are ALL touched (pair invisible to
