@@ -59,8 +59,10 @@ object SparkEntry {
 
   private def erClusters(spark: SparkSession, c: DataFrame): DataFrame = {
     // CC labels are lexicographic-min strings — zero-pad the numeric ids
-    // so string order == numeric order, then cast back.
-    def pad(x: Column): Column = lpad(x.cast("string"), 12, "0")
+    // so string order == numeric order, then cast back. 19 digits covers
+    // any non-negative int64 (lpad TRUNCATES over-width input; the
+    // numeric-min oracle would diverge on 13+-digit ids at width 12).
+    def pad(x: Column): Column = lpad(x.cast("string"), 19, "0")
     val edges = erEdges(c).filter(col("level") === "RESOLVED")
       .select(pad(col("doc_a")).as("doc_a"), pad(col("doc_b")).as("doc_b"))
     val ids = c.select(pad(col("c_custkey")).as("doc_id"))
