@@ -96,6 +96,36 @@ class IncrementalResolveSpec extends AnyFunSuite {
     assert(storedB == "ZWIRN")
   }
 
+  test("a new doc bridging two existing entities merges BOTH their components") {
+    import graft.model.Span
+    val tmp = java.nio.file.Files.createTempDirectory("incstore7").toString
+    val store = new SnapshotStore(tmp)
+    def doc(id: String, last: String, phone: String, email: String) = Doc(id, Seq(
+      Span("data_source", "T", null, 0), Span("record_id", id, null, 1),
+      Span("name_first", "CASEY", null, 2), Span("name_last", last, null, 3)) ++
+      Option(phone).map(Span("phone_number", _, null, 4)) ++
+      Option(email).map(Span("email_address", _, null, 5)))
+    // batch 1: A matches nothing B matches nothing → two entities
+    val r1 = IncrementalResolve.processBatch(spark, store, Seq(
+      doc("T:A", "BRIDGEWELL", "555-123-9876", null),
+      doc("T:B", "BRIDGEWELL", null, "casey@bridgewell.example")).toDF())
+    assert(r1.assignments.select("entity_id").distinct().count() == 2)
+    // batch 2: C shares the phone with A and the email with B — the
+    // affected-subgraph CC must pull BOTH old components in and emit
+    // one merged entity with one label for all three docs
+    val r2 = IncrementalResolve.processBatch(spark, store, Seq(
+      doc("T:C", "BRIDGEWELL", "555-123-9876", "casey@bridgewell.example")).toDF())
+    val m = assignMap(r2.assignments)
+    assert(m.size == 3)
+    assert(m.values.toSet.size == 1, s"bridge doc must merge both components: $m")
+    // and the merge is what a from-scratch batch run produces
+    val batchRun = ResolveJob.run(spark, Seq(
+      doc("T:A", "BRIDGEWELL", "555-123-9876", null),
+      doc("T:B", "BRIDGEWELL", null, "casey@bridgewell.example"),
+      doc("T:C", "BRIDGEWELL", "555-123-9876", "casey@bridgewell.example")).toDF())
+    assert(m == assignMap(batchRun.assignments))
+  }
+
   test("crashed batch is repaired by redelivery: docs snapshot commits LAST") {
     // worst-case crash point under the commit ordering: every DERIVED
     // table committed for batch 2, the docs snapshot not yet — i.e.
