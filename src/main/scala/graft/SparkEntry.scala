@@ -306,6 +306,10 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       TextAnalysis.fingerprint(t(dir, "documents")).select("doc_id", "winnow_fingerprint")
     }),
+    "ta_winnow_verify" -> ((s, dir) => { // md5-window twin — oracle-checkable
+      implicit val sp: SparkSession = s
+      TextAnalysis.winnowVerify(t(dir, "documents"))
+    }),
     "mm_media_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.mediaMetaColumns(Multimodal.withSyntheticMedia(t(dir, "documents")))
@@ -574,6 +578,16 @@ object SparkEntry {
       """SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS md5_fingerprint
          FROM documents""",
+    "ta_winnow_verify" ->
+      """WITH n AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN length(norm) >= 16 THEN
+             list_min(list_transform(range(1, length(norm) - 14),
+               i -> md5(substr(norm, CAST(i AS INT), 16))))
+           ELSE NULL END AS winnow_md5
+         FROM n""",
     "mm_media_meta" ->
       """SELECT doc_id,
            16 + octet_length(encode(text)) AS media_bytes,

@@ -92,4 +92,26 @@ object TextAnalysis {
       md5(norm).as("md5_fingerprint"),
       GraftFunctions.rolling_min_hash(norm, lit(window)).as("winnow_fingerprint"))
   }
+
+  /** Oracle-checkable winnowing twin (same role as
+    * Dedup.minhashNearDupPairsPortable for banding): the fingerprint is
+    * the LEXICOGRAPHIC MIN of md5 over every `window`-char substring of
+    * the normalized text — every step (normalize, slide, md5, min) is
+    * ANSI-SQL-expressible, so an independent engine reproduces the
+    * exact value (the fast kernel's Karp–Rabin rolling hash is not
+    * portable and is verifiable only by golden values). Docs shorter
+    * than the window have no fingerprint (NULL) in both engines. The
+    * HOF transform here is CodegenFallback — acceptable for a
+    * verification twin; the kernel variant stays the fast path.
+    */
+  def winnowVerify(docs: DataFrame, textCol: String = "text", window: Int = 16): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    docs.select(
+      col("doc_id"),
+      when(length(norm) >= window,
+        array_min(transform(
+          sequence(lit(1), length(norm) - (window - 1)),
+          i => md5(norm.substr(i, lit(window))))))
+        .as("winnow_md5"))
+  }
 }

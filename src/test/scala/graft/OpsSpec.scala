@@ -289,6 +289,20 @@ class OpsSpec extends AnyFunSuite {
     assert(g(9999999999992L) == ((9999999999991L, 2L, false)))
   }
 
+  test("winnow verify twin: md5-window min matches an independent JVM computation; short docs null") {
+    val text = "The   quick Brown fox jumps over the lazy dog"
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = (0 to norm.length - 16).map(i => md5hex(norm.substring(i, i + 16))).min
+    val df = Seq((1L, text), (2L, "short text")).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowVerify(df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) == Some(expected))
+    assert(got(2L) == None, "docs shorter than the window have no fingerprint")
+  }
+
   test("fingerprints: md5 matches a reference value; winnow is shift-robust-ish") {
     val one = Seq((1L, "Hello  World")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(one).head()
