@@ -252,6 +252,10 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.simhash(t(dir, "documents"))
     }),
+    "dd_simhash_verify" -> ((s, dir) => { // md5-vote twin — oracle-checkable
+      implicit val sp: SparkSession = s
+      Dedup.simhashVerify(t(dir, "documents"))
+    }),
     "dd_minhash_pairs" -> ((s, dir) => { // custom kernel — rows-only
       implicit val sp: SparkSession = s
       Dedup.minhashNearDupPairs(t(dir, "documents"), threshold = 0.5)
@@ -489,6 +493,38 @@ object SparkEntry {
          FROM cand JOIN d a ON a.doc_id = doc_a JOIN d b ON b.doc_id = doc_b
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9""",
+    "dd_simhash_verify" ->
+      """WITH toks AS (
+           SELECT doc_id, t, count(*) AS cnt FROM (
+             SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '')) AS t
+             FROM documents)
+           GROUP BY doc_id, t
+         ), h AS (
+           SELECT doc_id, cnt, substr(md5(t), 1, 16) AS h FROM toks
+         ), bits AS (
+           SELECT doc_id, cnt, g.ci,
+             strpos('0123456789abcdef', substr(h, CAST(g.ci AS INT), 1)) - 1 AS v,
+             wt.w
+           FROM h
+           CROSS JOIN generate_series(1, 16) AS g(ci)
+           CROSS JOIN (VALUES (8),(4),(2),(1)) AS wt(w)
+         ), votes AS (
+           SELECT doc_id, ci, w,
+             sum(cnt * ((CAST(floor(v / w) AS INT) % 2) * 2 - 1)) AS s
+           FROM bits GROUP BY doc_id, ci, w
+         ), nibbles AS (
+           SELECT doc_id, ci,
+             sum(CASE WHEN s > 0 THEN 1 ELSE 0 END * w) AS nv
+           FROM votes GROUP BY doc_id, ci
+         ), fp AS (
+           SELECT doc_id,
+             string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), ''
+               ORDER BY ci) AS simhash_hex
+           FROM nibbles GROUP BY doc_id)
+         SELECT d.doc_id, fp.simhash_hex
+         FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id""",
     "dd_embed_near" ->
       """WITH base AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

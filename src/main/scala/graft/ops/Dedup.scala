@@ -341,6 +341,46 @@ object Dedup {
     docs.select(col("doc_id"),
       graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"))
 
+  /** Oracle-checkable SimHash twin (the portability move of
+    * [[minhashNearDupPairsPortable]]): Charikar's weighted bit-majority
+    * fingerprint with the per-token hash taken as the first 16 hex
+    * chars of md5(token), emitted as a 16-hex-char string — every step
+    * (tokenize+count, md5, per-bit signed vote, majority, nibble
+    * re-assembly) is ANSI-SQL-expressible, so an independent engine
+    * reproduces the exact value (the fast kernel's token hash is not
+    * portable). Bit p's vote is sum(count × (2·bit_p(md5(token)) − 1));
+    * the fingerprint bit is 1 iff the vote is > 0 (ties → 0, identical
+    * rule both engines). Docs with no tokens are NULL. HOF/explode
+    * fan-out (tokens × 64 bits) is fine for a verification twin.
+    */
+  def simhashVerify(docs: DataFrame): DataFrame = {
+    val hexes = "0123456789abcdef"
+    val toks = docs.select(col("doc_id"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", substring(md5(col("t")), 1, 16))
+    // one row per (doc, token, nibble position 1..16, bit weight 8/4/2/1)
+    val bits = toks
+      .select(col("doc_id"), col("cnt"),
+        posexplode(transform(sequence(lit(1), lit(16)), i => col("h").substr(i, lit(1)))))
+      .withColumnRenamed("pos", "ci").withColumnRenamed("col", "c")
+      .withColumn("v", conv(col("c"), 16, 10).cast("int"))
+      .select(col("doc_id"), col("cnt"), col("ci"),
+        explode(typedlit(Seq(8, 4, 2, 1))).as("w"), col("v"))
+      .withColumn("bit", floor(col("v") / col("w")).cast("int") % 2)
+    val votes = bits.groupBy("doc_id", "ci", "w")
+      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("s"))
+      .withColumn("fpbit", when(col("s") > 0, 1).otherwise(0))
+    val nibbles = votes.groupBy("doc_id", "ci")
+      .agg(sum(col("fpbit") * col("w")).as("nv"))
+      .withColumn("nc", lit(hexes).substr(col("nv").cast("int") + 1, lit(1)))
+    val fp = nibbles.groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ci"), col("nc")))),
+        x => x.getField("nc")), "").as("simhash_hex"))
+    docs.select("doc_id").join(fp, Seq("doc_id"), "left")
+  }
+
   /** SimHash near-dup pairs with a RECALL GUARANTEE: the 64-bit
     * fingerprint is cut into `maxHamming + 1` slices, so by pigeonhole
     * any pair within `maxHamming` differing bits shares at least one

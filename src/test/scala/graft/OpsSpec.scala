@@ -289,6 +289,23 @@ class OpsSpec extends AnyFunSuite {
     assert(g(9999999999992L) == ((9999999999991L, 2L, false)))
   }
 
+  test("simhash verify twin: single-token doc == md5 prefix; case-normalized; empty → null") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // one token: every bit's vote is 2*bit-1, so the majority fingerprint
+    // IS the token hash — pins the whole bit-vote/nibble-assembly path
+    val df = Seq((1L, "hello"), (2L, "  HELLO  "), (3L, ""), (4L, "hello world hello"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashVerify(df).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) == Some(md5hex("hello").substring(0, 16)))
+    assert(got(2L) == got(1L), "tokenization lowercases and trims")
+    assert(got(3L) == None, "no tokens → no fingerprint")
+    // doubled 'hello' outvotes single 'world' on every disagreeing bit
+    assert(got(4L) == got(1L), "token multiplicity weights the vote")
+  }
+
   test("winnow verify twin: md5-window min matches an independent JVM computation; short docs null") {
     val text = "The   quick Brown fox jumps over the lazy dog"
     val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
