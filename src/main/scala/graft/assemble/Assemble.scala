@@ -327,7 +327,14 @@ object Assemble {
     // ---- ENTITY_NAME: approximation of Senzing's display-name pick,
     // calibrated on the fixture: most frequent exact normalized name,
     // then longest alphabetic form, then least punctuation, then the
-    // latest record's value ----
+    // latest record's value. The 3 residual misses (Daniella Shaw /
+    // Anna Maria Aguilar / Mark Miller) want the EARLIEST record, but
+    // 5 other ties (Robbie Smith / Magdalena Jones / Morrie Klempsky /
+    // George Weest / Candace Kellar) want the LATEST, and no observable
+    // feature separates the groups (golden picks the less-generic
+    // surname in one tie and the more-common given-name spelling in
+    // another) — the pick is GNR-internal; latest is the best simple
+    // fit at 71/74. ----
     val nameCand = entries.filter(col("ftype") === "NAME")
       .withColumn("nnorm", regexp_replace(lower(col("desc")), "[^a-z ]", ""))
     val nameFreq = nameCand.groupBy("entity_id", "nnorm").agg(count(lit(1)).as("freq"))
