@@ -226,18 +226,28 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("len_bucket"), col("sz"),
         explode(col("prefix.t")).as("t"))
 
-    val l = prefixes.select(col("lang"), col("len_bucket"), col("t"),
-      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-    val r = prefixes.select(col("lang"), col("len_bucket"), col("t"),
-      col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-    // the same ε guards the exact-integer boundary here: at t=0.55,
-    // |A|=20, |B|=11 the product is 11.000000000000001 > 11 and a
+    // the prefix self-join goes through the shared three-tier join in
+    // SALT-ONLY mode (megaCap = MaxValue → no down-sampling, exactness
+    // preserved): a hot-but-not-identical prefix token — distinct sets
+    // that are mostly common vocabulary, the one shape the identical-
+    // set collapse can't fold — spreads its quadratic work over
+    // `salts` tasks instead of landing in one.
+    val cand0 = boundedSelfJoinPairs(
+      prefixes.select(col("lang"), col("len_bucket"), col("t"), col("doc_id")),
+      Seq("lang", "len_bucket", "t"), "doc_id",
+      BlockBounds(maxBlockSize = 64, megaCap = Int.MaxValue, salts = 8))
+    // length filter (t·|A| ≤ |B| for |B| ≤ |A|) after the pair dedup —
+    // pure prune, the exact-Jaccard verify below decides membership.
+    // The ε guards the exact-integer boundary: at t=0.55, |A|=20,
+    // |B|=11 the product is 11.000000000000001 > 11 and a
     // J-exactly-t pair would be pruned before verification
-    val cand = l.join(r, Seq("lang", "len_bucket", "t"))
-      .filter(col("doc_a") < col("doc_b") &&
-        lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b") &&
+    val szs = withSets.select(col("doc_id"), size(col("shingles")).as("_sz"))
+    val cand = cand0
+      .join(szs.select(col("doc_id").as("doc_a"), col("_sz").as("sz_a")), "doc_a")
+      .join(szs.select(col("doc_id").as("doc_b"), col("_sz").as("sz_b")), "doc_b")
+      .filter(lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b") &&
         lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b")
 
     val sets = withSets.select(col("doc_id"), col("shingles"))
     val repPairs = cand

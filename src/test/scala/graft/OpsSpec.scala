@@ -134,6 +134,20 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.filter(col("doc_b") === 4100000L).count() == 300)
   }
 
+  test("ngram jaccard: hot-but-not-identical prefix token is salted with NO pair loss") {
+    // 120 docs: 9 shared tokens + 1 unique each — sets are all DISTINCT
+    // (the identical-set collapse can't fold them) and every doc's
+    // prefix contains shared tokens, so one hot prefix block covers all
+    // docs. Salt-only mode must still emit every pair: J = 9/11 ≈ 0.82
+    val shared = (1 to 9).map(i => f"common$i%02d").mkString(" ")
+    val df = (0 until 120).map(i => (7000000L + i, s"$shared unique$i"))
+      .map { case (id, t) => (id, t, "en", 60) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val pairs = Dedup.ngramJaccard(df, threshold = 0.6)
+    assert(pairs.count() == 120L * 119 / 2, "salting must keep ALL pairs")
+    assert(pairs.filter(col("jaccard") < 0.8 || col("jaccard") > 0.83).count() == 0)
+  }
+
   test("near-dup groups: clique + chain collapse transitively; canonical is min id") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = Seq(
