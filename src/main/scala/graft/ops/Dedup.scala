@@ -43,12 +43,25 @@ object Dedup {
       keyCols: Seq[String],
       idCol: String,
       bounds: BlockBounds = BlockBounds()): DataFrame = {
-    val k = keyed.select(struct(keyCols.map(col): _*).as("_k"), col(idCol).as("_id"))
+    // NULL keys never join in a plain equi-join (and never match in a
+    // SQL oracle) — but struct equality treats NULL FIELDS as equal,
+    // so they must be dropped explicitly or null-keyed rows would
+    // silently block together. Checkpointed: the tier scans below read
+    // this frame ~5× (hot aggregate, cold l/r, hot l/r), and callers
+    // pass expensive upstreams (minhash kernels, prefix sorts) that
+    // must not be recomputed per scan.
+    val k = keyed
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(struct(keyCols.map(col): _*).as("_k"), col(idCol).as("_id"))
+      .localCheckpoint(true)
 
-    // Zipf head only — tiny by construction, broadcast to both tiers.
-    // Materialized eagerly so the mega down-sampling decision can be
-    // surfaced (never silent) and the frame is built once, not once
-    // per consuming join.
+    // Hot-key head. Materialized eagerly so the mega down-sampling
+    // decision can be surfaced (never silent) and the frame is built
+    // once, not once per consuming join. NO broadcast hint: for ER
+    // blocking keys the head is a tiny Zipf head, but for prefix
+    // tokens over a common-vocabulary corpus it can be large — both
+    // sides are checkpointed, so AQE picks the join strategy from
+    // exact sizes (broadcast when small, shuffle join when not).
     val hot0 = k.groupBy("_k").count().filter(col("count") > bounds.maxBlockSize)
       .withColumn("keep_mod",
         when(col("count") > bounds.megaCap,
@@ -63,7 +76,7 @@ object Dedup {
         "members each (deterministic hash-mod)")
     val hot = hot0.select("_k", "keep_mod")
 
-    val cold = k.join(broadcast(hot), Seq("_k"), "left_anti")
+    val cold = k.join(hot, Seq("_k"), "left_anti")
     val coldPairs = cold.select(col("_k"), col("_id").as("doc_a"))
       .join(cold.select(col("_k"), col("_id").as("doc_b")), Seq("_k"))
       .filter(col("doc_a") < col("doc_b"))
@@ -73,7 +86,7 @@ object Dedup {
     // self-join — left row lands in ONE salt bucket, right row is
     // replicated to ALL buckets, so every pair appears exactly once
     // while the per-key work spreads over `salts` tasks.
-    val hotRows = k.join(broadcast(hot), Seq("_k"))
+    val hotRows = k.join(hot, Seq("_k"))
       .filter(col("keep_mod").isNull ||
         pmod(xxhash64(col("_id")), col("keep_mod")) === 0)
       .select("_k", "_id")

@@ -106,12 +106,17 @@ object TextAnalysis {
     */
   def winnowVerify(docs: DataFrame, textCol: String = "text", window: Int = 16): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    // aggregate-fold keeps only the running min (O(1) per row) —
+    // materializing all (len−15) md5 strings first would cost ~47×
+    // the document length in one unsafe row. `least` ignores the
+    // null seed.
     docs.select(
       col("doc_id"),
       when(length(norm) >= window,
-        array_min(transform(
+        aggregate(
           sequence(lit(1), length(norm) - (window - 1)),
-          i => md5(norm.substr(i, lit(window))))))
+          lit(null).cast("string"),
+          (acc, i) => least(acc, md5(norm.substr(i, lit(window))))))
         .as("winnow_md5"))
   }
 }

@@ -78,15 +78,21 @@ class PlanSpec extends AnyFunSuite {
     assert(phys.contains("BroadcastHashJoin"), phys.take(1500))
   }
 
-  test("hot-key suppression join is a broadcast anti-join") {
+  test("hot-key suppression anti-join broadcasts the small hot head at runtime (AQE)") {
     import graft.blocking.Blocking
     import graft.normalize.Normalize
     import graft.score.Generic
     import graft.sources.DocCorpus
     val docs = DocCorpus.synthetic(spark, 500).toDF().localCheckpoint(true)
     val feats = Generic.withGenericFlags(Normalize.features(docs)).localCheckpoint(true)
-    val plan = Blocking.candidatePairs(Blocking.blockingKeys(feats))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(1500))
+    // no static broadcast hint anymore (a prefix-token caller can have
+    // a LARGE hot head — see Dedup.boundedSelfJoinPairs); both sides
+    // are checkpointed with exact sizes, so AQE must still pick a
+    // broadcast for this tiny hot head at runtime
+    val df = Blocking.candidatePairs(Blocking.blockingKeys(feats))
+    df.collect() // execute THIS plan so AQE reaches its final form
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 }
