@@ -77,6 +77,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("boundedSelfJoinPairs (salt-only) == plain self-join on random inputs, nulls included") {
+    // randomized equivalence oracle for the shared three-tier join:
+    // Zipfian keys force cold AND hot tiers; null keys must behave
+    // like a plain column equi-join (never match)
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 400).map { i =>
+        val key = if (rnd.nextInt(10) == 0) null
+          else s"k${(math.pow(rnd.nextDouble(), 3) * 8).toInt}" // Zipf-ish: k0 hot
+        (i.toLong, key)
+      }
+      val keyed = rows.toDF("doc_id", "bkey")
+      val expected = rows.filter(_._2 != null).groupBy(_._2).values.flatMap { g =>
+        for (a <- g; b <- g if a._1 < b._1) yield (a._1, b._1)
+      }.toSet
+      val got = Dedup.boundedSelfJoinPairs(keyed, Seq("bkey"), "doc_id",
+          Dedup.BlockBounds(maxBlockSize = 16, megaCap = Int.MaxValue, salts = 4))
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed $seed: ${got.size} vs ${expected.size}")
+    }
+  }
+
   test("mega band blocks are down-sampled deterministically, never quadratic") {
     // 5,000-member boilerplate cluster: every band key is shared by all
     // docs → without the mega tier this is ~12.5M pairs in one task
