@@ -54,7 +54,9 @@ import org.apache.spark.sql.functions._
   * growing corpus flips a value's generic flag — incremental results
   * can drift from a from-scratch batch until the next full resolve.
   * The reference has the same property: Senzing scores a pair once, at
-  * ingest time.
+  * ingest time. The divergence is a TESTED contract:
+  * IncrementalResolveSpec's "documented drift" case pins both sides
+  * (incremental keeps the pre-flip merge; from-scratch splits it).
   */
 object IncrementalResolve {
 
@@ -246,14 +248,27 @@ object IncrementalResolve {
           spark, allIds, currResolved, cfg.checkpointDir)
         (assign, nAll)
     }
-    store.commit(currResolved, "resolved")
     val assignSnap = assignments.localCheckpoint(true)
 
     val affected = if (store.exists("assignments")) {
+      // read() binds the snapshot PATH eagerly, so this lazy diff stays
+      // pinned to the pre-batch assignments even after the commit below
       val prev = store.read(spark, "assignments")
       SnapshotDiff.affectedEntities(prev, assignSnap)
     } else assignSnap.select("entity_id").distinct()
+    // Commit ORDER is load-bearing: assignments BEFORE resolved. A crash
+    // between them leaves resolved=old, so the redelivered batch's
+    // resolved-diff is non-empty and the affected components (old AND
+    // new endpoints) are recomputed. The reverse order (resolved first)
+    // had a window where resolved=new/assignments=old made the diff
+    // empty, affLabels empty, and new docs that should merge into
+    // existing entities silently kept separate labels. Tradeoff: a
+    // crash AFTER the assignments commit makes the redelivered batch's
+    // affectedEntities diff empty (the notification is lost, the
+    // assignments themselves are correct) — wrong-labels was the worse
+    // failure. Pinned by IncrementalResolveSpec's per-window crash test.
     store.commit(assignSnap, "assignments")
+    store.commit(currResolved, "resolved")
     // docs commit LAST — the batch-atomicity marker (see note above)
     store.commit(docsSnap, "docs")
 

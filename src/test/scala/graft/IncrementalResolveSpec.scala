@@ -126,28 +126,87 @@ class IncrementalResolveSpec extends AnyFunSuite {
     assert(m == assignMap(batchRun.assignments))
   }
 
-  test("crashed batch is repaired by redelivery: docs snapshot commits LAST") {
-    // worst-case crash point under the commit ordering: every DERIVED
-    // table committed for batch 2, the docs snapshot not yet — i.e.
-    // the instant before the final commit. (The old ordering committed
-    // docs FIRST, so this state made the redelivered batch a
-    // content-hash no-op and silently dropped it from assignments.)
+  test("crashed batch is repaired by redelivery — EVERY crash window in the commit order") {
+    // The per-batch commit order is features_raw, blocks, edges,
+    // assignments, resolved, docs. A crash leaves exactly a PREFIX of
+    // that sequence committed; fabricate each possible crash state by
+    // rolling back a SUFFIX of the batch-2 commits and assert that
+    // redelivering batch 2 converges the store to the clean result.
+    // The (docs, resolved) and (docs, resolved, assignments) windows
+    // pin the assignments-BEFORE-resolved ordering: with the reverse
+    // order, the resolved=new/assignments=old state made the
+    // resolved-diff empty and silently mislabeled merging docs.
+    val commitOrder =
+      Seq("features_raw", "blocks", "edges", "assignments", "resolved", "docs")
     val docs = DocCorpus.fromFlatJsonl(spark, FixtureEval.CustomersPath).collect().toSeq
     val (b1, b2) = docs.splitAt(90)
-    val tmp = java.nio.file.Files.createTempDirectory("incstore6").toString
+    val cleanDir = java.nio.file.Files.createTempDirectory("incstore6_clean")
+    val cleanStore = new SnapshotStore(cleanDir.toString)
+    IncrementalResolve.processBatch(spark, cleanStore, b1.toDF())
+    val clean = IncrementalResolve.processBatch(spark, cleanStore, b2.toDF())
+    def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Files.walk(from)
+      try s.forEach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      } finally s.close()
+    }
+    for (nRolledBack <- 1 to commitOrder.size) {
+      val rollback = commitOrder.takeRight(nRolledBack)
+      val tmp = java.nio.file.Files.createTempDirectory(s"incstore6_$nRolledBack").toString
+      copyDir(cleanDir, java.nio.file.Paths.get(tmp))
+      val store = new SnapshotStore(tmp)
+      // fabricate the crash: un-publish the batch-2 manifest of every
+      // table in the rolled-back suffix (publish is an atomic rename,
+      // so a crash means exactly "manifest absent, older one current")
+      for (table <- rollback) {
+        val latest = store.snapshots(table).max
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(tmp, table, "_manifests").resolve(s"$latest.json"))
+      }
+      val repaired = IncrementalResolve.processBatch(spark, store, b2.toDF())
+      assert(repaired.newDocs == b2.size,
+        s"rollback of $rollback: docs must count as touched again")
+      assert(assignMap(repaired.assignments) == assignMap(clean.assignments),
+        s"rollback of $rollback: redelivery must reproduce the clean result")
+      assert(assignMap(store.read(spark, "assignments")) == assignMap(clean.assignments),
+        s"rollback of $rollback: committed assignments must match the clean result")
+    }
+  }
+
+  test("documented drift: carried old↔old edges are NOT rescored when a generic flag flips") {
+    // Contract pin (IncrementalResolve object doc, "Carried-edge
+    // semantics"): old↔old edges keep their ingest-time score even when
+    // corpus growth later flips a value's generic flag — the reference
+    // behaves the same way (Senzing scores a pair once, at ingest). The
+    // divergence from a from-scratch batch is deliberate and bounded to
+    // the next full resolve; this spec makes it a tested contract, not
+    // a surprise.
+    import graft.model.Span
+    val tmp = java.nio.file.Files.createTempDirectory("incstore8").toString
     val store = new SnapshotStore(tmp)
-    IncrementalResolve.processBatch(spark, store, b1.toDF())
-    val clean = IncrementalResolve.processBatch(spark, store, b2.toDF())
-    // fabricate the crash: roll back ONLY docs to its batch-1 snapshot
-    val docsManifests = java.nio.file.Paths.get(tmp, "docs", "_manifests")
-    val latest = store.snapshots("docs").max
-    java.nio.file.Files.delete(docsManifests.resolve(s"$latest.json"))
-    // redelivery of batch 2 must repair the store to the clean state
-    val repaired = IncrementalResolve.processBatch(spark, store, b2.toDF())
-    assert(repaired.newDocs == b2.size, "rolled-back docs must count as touched again")
-    assert(assignMap(repaired.assignments) == assignMap(clean.assignments),
-      "redelivered crashed batch must reproduce the clean result")
-    assert(assignMap(store.read(spark, "assignments")) == assignMap(clean.assignments))
+    def doc(id: String, dob: String) = Doc(s"T:$id", Seq(
+      Span("data_source", "T", null, 0), Span("record_id", id, null, 1),
+      Span("name_first", "ZEPHYR", null, 2), Span("name_last", "QUIRKMIRE", null, 3)) ++
+      Option(dob).map(Span("date_of_birth", _, null, 4)))
+    // batch 1: exact name (4.0) + exact DOB (2.0) ≥ thetaResolve → merged
+    val r1 = IncrementalResolve.processBatch(spark, store,
+      Seq(doc("A", "1980-05-12"), doc("B", "1980-05-12")).toDF())
+    assert(assignMap(r1.assignments).values.toSet.size == 1, "pre-flip: A and B resolve")
+    // batch 2: six more ZEPHYR QUIRKMIREs (no DOB) → the full name now
+    // has 8 ≥ nameThreshold(7) docs and name_generic flips corpus-wide
+    val extras = (1 to 6).map(i => doc(s"X$i", null))
+    val r2 = IncrementalResolve.processBatch(spark, store, extras.toDF())
+    val m = assignMap(r2.assignments)
+    assert(m("T:A") == m("T:B"),
+      "incremental: the carried pre-flip RESOLVED edge keeps A and B merged")
+    // from-scratch over the same corpus: the name is generic at scoring
+    // time (2.5 + 2.0 < thetaResolve) → A and B stay separate
+    val bm = assignMap(ResolveJob.run(spark,
+      (Seq(doc("A", "1980-05-12"), doc("B", "1980-05-12")) ++ extras).toDF()).assignments)
+    assert(bm("T:A") != bm("T:B"),
+      "from-scratch: post-flip rescoring splits A and B — the documented drift")
   }
 
   test("structured streaming end-to-end via MemoryStream + foreachBatch") {
