@@ -302,7 +302,7 @@ object Assemble {
       if (numberEntities)
         perDesc.join(
           denseIds(perDesc.select("lib_key"), "lib_key", outCol = "lib_id"), "lib_key")
-      else perDesc.withColumn("lib_id", abs(xxhash64(col("lib_key"))))
+      else perDesc.withColumn("lib_id", pmod(xxhash64(col("lib_key")), lit(Long.MaxValue)))
 
     val groups = withLib
       .groupBy("entity_id", "ftype", "canon", "usage")
@@ -427,7 +427,7 @@ object Assemble {
       .join(summary, Seq("entity_id"), "left")
       .join(entityIds.fold(
         entityName.select(col("entity_id"),
-          abs(xxhash64(col("entity_id"))).as("other_eid")))(ids =>
+          pmod(xxhash64(col("entity_id")), lit(Long.MaxValue)).as("other_eid")))(ids =>
         ids.select(col("entity_key").as("entity_id"), col("ENTITY_ID").as("other_eid"))),
         Seq("entity_id"), "left")
       .select(col("entity_id").as("other"), col("other_eid"),
@@ -468,10 +468,15 @@ object Assemble {
     // In the unnumbered (delta-export) path the top-level ENTITY_ID uses
     // the SAME hash id that RELATED_ENTITIES.ENTITY_ID carries (see
     // otherCore above), so relationship ids cross-reference within one
-    // export; entity_key remains the stable string id.
+    // export; entity_key remains the stable string id. pmod (not abs):
+    // abs(Long.MinValue) is still negative in Java semantics. Collision
+    // stance: a 64-bit-hash collision between two entity_keys in one
+    // export would alias their cross-references — accepted (p < 1e-9
+    // below ~10^5 entities per delta export); entity_key is the
+    // collision-free stable id and numbered mode has no hash at all.
     val keyed = base.withColumnRenamed("entity_id", "entity_key")
     entityIds.fold(
-      keyed.withColumn("ENTITY_ID", abs(xxhash64(col("entity_key")))))(ids =>
+      keyed.withColumn("ENTITY_ID", pmod(xxhash64(col("entity_key")), lit(Long.MaxValue))))(ids =>
       keyed.join(ids, "entity_key"))
   }
 
