@@ -32,7 +32,57 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class Stats(iterations: Int, perIterationEdges: Seq[Long])
+
+  /** Driver-side union-find finish over a COLLECTED frontier (bounded
+    * by `localFinishEdges` rows — the caller checks the observed count
+    * before entering). Union-by-size with path compression, then label
+    * every node with its component min: exactly the star-shaped
+    * fixpoint (node → component-min, node ≠ min) the distributed loop
+    * converges to, so downstream `roots`/`assignments` code is shared.
+    */
+  private def localFinish(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = e.select(col("src"), col("dst")).as[(String, String)].collect()
+    val parent = new java.util.HashMap[String, String]()
+    val sz = new java.util.HashMap[String, Int]()
+    def find(x0: String): String = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path-halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    rows.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        val (big, small) =
+          if (sz.getOrDefault(ra, 1) >= sz.getOrDefault(rb, 1)) (ra, rb) else (rb, ra)
+        parent.put(small, big)
+        sz.put(big, sz.getOrDefault(big, 1) + sz.getOrDefault(small, 1))
+      }
+    }
+    val nodes = new java.util.HashSet[String]()
+    rows.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    val minOf = new java.util.HashMap[String, String]()
+    nodes.forEach { n =>
+      val r = find(n)
+      val cur = minOf.get(r)
+      if (cur == null || n < cur) minOf.put(r, n)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    nodes.forEach { n =>
+      val m = minOf.get(find(n))
+      if (n != m) out += ((n, m))
+    }
+    spark.createDataset(out.toSeq).toDF("src", "dst")
+  }
 
   /** @param edges DataFrame with string columns (src, dst)
     * @return (assignments DataFrame (doc_id, entity_id), stats) where
@@ -43,7 +93,8 @@ object ConnectedComponents {
       spark: SparkSession,
       edges: DataFrame,
       maxIterations: Int = 50,
-      checkpointDir: Option[String] = None): (DataFrame, Stats) = {
+      checkpointDir: Option[String] = None,
+      localFinishEdges: Long = 500000L): (DataFrame, Stats) = {
 
     // Per-iteration materialization MUST truncate the logical plan
     // (localCheckpoint / parquet snapshot), not merely persist: each
@@ -115,8 +166,16 @@ object ConnectedComponents {
     // exchange materialization jobs + re-planning on every iteration —
     // measured ~0.2-0.5 s of driver-serial latency per job × ~5 jobs ×
     // iterations, identical at every cluster size.
+    // constraintPropagation OFF for the loop as well: localCheckpoint's
+    // LogicalRDD.rewriteStatsAndConstraints is super-linear over the
+    // iteration tree (self-joins of unions multiply constraint sets),
+    // and the loop materializes one such tree per iteration. ResolveJob
+    // disables it job-wide, but CC is also entered directly by the
+    // dedup/groups path (measured there: the fused tail's bigger tree
+    // took the closure from 23 s to ~50 s until this was scoped off).
     val loop = graft.util.Confs.withConfs(spark)(
-      "spark.sql.adaptive.enabled" -> "false") {
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.constraintPropagation.enabled" -> "false") {
       var (e, fp) = checkpoint(
         edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct(), 0)
       // Iteration parallelism is sized from the OBSERVED edge count
@@ -134,14 +193,41 @@ object ConnectedComponents {
         var iter = 0
         var converged = false
         val edgeCounts = scala.collection.mutable.ArrayBuffer[Long](fp._1)
+        // Two-phase finish (Kiveris SOCC'14 §6 practice): the loop's
+        // tail is LATENCY-bound, not data-bound — each double-step is a
+        // driver-serial job (~6 exchanges) whose fixed cost is identical
+        // at every cluster size, and the edge frame collapses by orders
+        // of magnitude in the first round (measured: 356k → 4.3k, then
+        // FOUR more ~4.2k-edge rounds just to shave 118 edges and
+        // confirm). Once the OBSERVED frontier fits an explicit bound,
+        // finish with one driver-side union-find over the collected
+        // frontier: same labels by construction (union-by-min ==
+        // component-min), one bounded job instead of a per-round tail.
+        // 100 TB stance: the collect is capped at `localFinishEdges`
+        // ROWS regardless of corpus size (≈40 MB at the default) — at
+        // 10^12 docs the loop still runs its distributed O(log n)
+        // rounds and only the last few latency-bound rounds collapse.
+        // (Per-iteration step fusion was measured first and LOST: a
+        // fused double-double-step costs ~2.7× a single job on a tiny
+        // frame — the fixed cost is per STAGE, not per job — and 3.4×
+        // on the big first frame, where exchange reuse can't cover the
+        // nested tree. tools/FuseProbe.)
         while (!converged && iter < maxIterations) {
-          iter += 1
-          val (next, nfp) = checkpoint(smallStar(largeStar(e)), iter)
-          converged = nfp == fp
-          fp = nfp
-          edgeCounts += nfp._1
-          e.unpersist()
-          e = next
+          if (fp._1 > 0 && fp._1 <= localFinishEdges) {
+            log.info(s"cc: local union-find finish over ${fp._1} frontier edges")
+            val finished = localFinish(spark, e)
+            e.unpersist()
+            e = finished
+            converged = true
+          } else {
+            iter += 1
+            val (next, nfp) = checkpoint(smallStar(largeStar(e)), iter)
+            converged = nfp == fp
+            fp = nfp
+            edgeCounts += nfp._1
+            e.unpersist()
+            e = next
+          }
         }
         (e, iter, edgeCounts)
       }
@@ -163,10 +249,11 @@ object ConnectedComponents {
       spark: SparkSession,
       docIds: DataFrame, // (doc_id)
       resolvedEdges: DataFrame, // (doc_a, doc_b)
-      checkpointDir: Option[String] = None): (DataFrame, Stats) = {
+      checkpointDir: Option[String] = None,
+      localFinishEdges: Long = 500000L): (DataFrame, Stats) = {
     val (members, stats) = run(spark,
       resolvedEdges.select(col("doc_a").as("src"), col("doc_b").as("dst")),
-      checkpointDir = checkpointDir)
+      checkpointDir = checkpointDir, localFinishEdges = localFinishEdges)
     val singletons = docIds
       .join(members, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("entity_id"))

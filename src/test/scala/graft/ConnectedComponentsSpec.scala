@@ -42,6 +42,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "c", "lonely" -> "lonely"))
   }
 
+  test("distributed loop (local finish disabled) agrees with the local-finish path") {
+    // localFinishEdges=0 forces the pure large-star/small-star loop —
+    // the path a 10^12-doc frontier takes — on graphs with every shape
+    // quirk: chains (worst case for star-contraction), cliques,
+    // singleton edges, shared-prefix ids
+    val rnd = new scala.util.Random(11)
+    val chain = (0 until 40).map(i => (f"c$i%03d", f"c${i + 1}%03d"))
+    val clique = for (i <- 0 until 8; j <- i + 1 until 8) yield (f"k$i%02d", f"k$j%02d")
+    val random = (1 to 150).map { _ =>
+      (f"r${rnd.nextInt(60)}%02d", f"r${rnd.nextInt(60)}%02d")
+    }.filter(e => e._1 != e._2)
+    val edges = (chain ++ clique ++ random ++ Seq(("solo_a", "solo_b")))
+    val (distAssign, distStats) = ConnectedComponents.run(
+      spark, edges.toDF("src", "dst"), localFinishEdges = 0L)
+    val dist = distAssign.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(distStats.iterations > 0, "distributed path must actually iterate")
+    assert(dist == cc(edges), "local union-find finish must produce the loop's fixpoint labels")
+  }
+
   test("larger random graph matches a driver-side union-find oracle") {
     val rnd = new scala.util.Random(7)
     val n = 300
