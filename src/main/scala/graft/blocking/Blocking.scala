@@ -43,7 +43,11 @@ object Blocking {
       salts: Int = 16,
       useLsh: Boolean = true,
       lshBands: Int = 6,
-      lshRows: Int = 6)
+      lshRows: Int = 6,
+      /** Durable tier checkpoints for the candidate self-join — see
+        * Dedup.BlockBounds.checkpointDir (executor-loss survival).
+        */
+      checkpointDir: Option[String] = None)
 
   /** (doc_id, bkey) pairs, exploded and de-duplicated. */
   def blockingKeys(features: DataFrame, cfg: Config = Config()): DataFrame = {
@@ -119,13 +123,22 @@ object Blocking {
     // collision merges two blocks — it can only ADD candidate pairs
     // (scoring rejects them), never lose one, and pairs sharing a real
     // key still share the hashed key.
-    val blocks = blocks0.select(xxhash64(col("bkey")).as("bkey"), col("doc_id"))
+    // NULL bkeys are dropped BEFORE hashing: xxhash64 maps NULL input
+    // to the seed (42), not NULL, so without this filter every
+    // null-keyed row would collapse into one shared synthetic block
+    // (and the shared join's null-key drop would never see a null).
+    // The ER caller already filters nulls in blockingKeys — this makes
+    // the contract (nulls never match, as in a plain equi-join)
+    // independent of the caller.
+    val blocks = blocks0.filter(col("bkey").isNotNull)
+      .select(xxhash64(col("bkey")).as("bkey"), col("doc_id"))
     // ONE implementation of the three-tier discipline, shared with the
     // dedup/ANN candidate joins — expression-identical to the inlined
     // round-2 body (same xxhash64 salting and keep_mod arithmetic), so
     // the emitted pair set is unchanged; the shared path also logs
     // mega-key down-sampling (never silent).
     graft.ops.Dedup.boundedSelfJoinPairs(blocks, Seq("bkey"), "doc_id",
-      graft.ops.Dedup.BlockBounds(cfg.maxBlockSize, cfg.megaCap, cfg.salts))
+      graft.ops.Dedup.BlockBounds(cfg.maxBlockSize, cfg.megaCap, cfg.salts,
+        cfg.checkpointDir))
   }
 }

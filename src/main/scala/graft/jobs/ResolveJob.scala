@@ -134,13 +134,28 @@ object ResolveJob {
     // snapshot data model). A frame that can change between scans
     // (non-deterministic exprs, a table under concurrent writes)
     // needs a snapshotRoot or a caller-side localCheckpoint, else
-    // normalize and the span join could see different versions.
-    val docsSnap = store.fold(docs)(_ => stage("docs")(docs))
+    // normalize and the span join could see different versions. The
+    // one statically-detectable violation — a non-deterministic
+    // expression (uuid(), rand(), …) anywhere in the plan — is
+    // guarded below by forcing a materialization; scans of tables
+    // under concurrent writes remain the caller's contract.
+    def planNondeterministic(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.exists(
+        _.expressions.exists(_.exists(!_.deterministic)))
+    val docsSnap = store match {
+      case Some(_) => stage("docs")(docs)
+      case None if planNondeterministic(docs) => stage("docs")(docs)
+      case None => docs
+    }
     val featsRaw = stage("features_raw")(Normalize.features(docsSnap))
     val feats = stage("features")(Generic.withGenericFlags(featsRaw, cfg.generic))
 
     val pairs = stage("pairs") {
-      Blocking.candidatePairs(Blocking.blockingKeys(feats, cfg.blocking), cfg.blocking)
+      // the job-level checkpointDir also hardens the candidate join's
+      // tier frames (durable snapshots, not executor-local blocks)
+      val bcfg = cfg.blocking.copy(checkpointDir =
+        cfg.blocking.checkpointDir.orElse(cfg.checkpointDir))
+      Blocking.candidatePairs(Blocking.blockingKeys(feats, bcfg), bcfg)
     }
 
     // Whole-stage codegen is disabled for the scoring action only: the

@@ -28,9 +28,28 @@ object Dedup {
     * degenerate block cannot go quadratic (cap the pair count at
     * ~megaCap²/2 per key). Down-sampling is hash-mod on the id —
     * deterministic across runs and parallelism levels.
+    *
+    * `checkpointDir`: when set, the tier frames are materialized as
+    * parquet snapshots under it instead of `localCheckpoint` —
+    * localCheckpoint blocks live in non-replicated executor storage,
+    * so on a real cluster a lost executor kills a long dedup job;
+    * store-backed tiers survive (mirrors ConnectedComponents'
+    * `checkpointDir`). Same outputs either way (OpsSpec-pinned).
     */
   final case class BlockBounds(maxBlockSize: Int = 64, megaCap: Int = 4096,
-      salts: Int = 8)
+      salts: Int = 8, checkpointDir: Option[String] = None)
+
+  /** Materialize a tier frame: durable parquet snapshot when a
+    * checkpoint dir is configured, localCheckpoint otherwise.
+    */
+  private def materializeTier(df: DataFrame, dir: Option[String], tag: String): DataFrame =
+    dir match {
+      case Some(d) =>
+        val path = s"$d/bsj_${tag}_${java.util.UUID.randomUUID}"
+        df.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => df.localCheckpoint(true)
+    }
 
   /** Self-join `keyed` on `keyCols`, emitting distinct id pairs
     * (a < b) with the three-tier bounded-block discipline (object
@@ -50,10 +69,10 @@ object Dedup {
     // this frame ~5× (hot aggregate, cold l/r, hot l/r), and callers
     // pass expensive upstreams (minhash kernels, prefix sorts) that
     // must not be recomputed per scan.
-    val k = keyed
+    val k = materializeTier(keyed
       .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
-      .select(struct(keyCols.map(col): _*).as("_k"), col(idCol).as("_id"))
-      .localCheckpoint(true)
+      .select(struct(keyCols.map(col): _*).as("_k"), col(idCol).as("_id")),
+      bounds.checkpointDir, "keyed")
 
     // Hot-key head. Materialized eagerly so the mega down-sampling
     // decision can be surfaced (never silent) and the frame is built
@@ -62,17 +81,28 @@ object Dedup {
     // tokens over a common-vocabulary corpus it can be large — both
     // sides are checkpointed, so AQE picks the join strategy from
     // exact sizes (broadcast when small, shuffle join when not).
-    val hot0 = k.groupBy("_k").count().filter(col("count") > bounds.maxBlockSize)
-      .withColumn("keep_mod",
-        when(col("count") > bounds.megaCap,
-          ceil(col("count").cast("double") / bounds.megaCap).cast("long")))
-      .select("_k", "keep_mod", "count")
-      .localCheckpoint(true)
-    val mega = hot0.filter(col("keep_mod").isNotNull)
-      .agg(count(lit(1)).as("n"), sum("count").as("members")).head()
-    if (mega.getLong(0) > 0)
-      log.warn(s"boundedSelfJoinPairs: ${mega.getLong(0)} mega block(s) " +
-        s"totalling ${mega.getLong(1)} members down-sampled to ~${bounds.megaCap} " +
+    // the mega-block tally rides the checkpoint materialization as an
+    // observed metric (one job, not a checkpoint job + a second
+    // aggregate action) — this function runs once per candidate family
+    // and per-invocation driver-serial jobs are the scaling tax the
+    // one-box efficiency measurements keep naming. UUID suffix: the
+    // Observation registry matches by name session-wide.
+    val megaObs = org.apache.spark.sql.Observation(
+      s"bsj_mega_${java.util.UUID.randomUUID}")
+    val hot0 = materializeTier(
+      k.groupBy("_k").count().filter(col("count") > bounds.maxBlockSize)
+        .withColumn("keep_mod",
+          when(col("count") > bounds.megaCap,
+            ceil(col("count").cast("double") / bounds.megaCap).cast("long")))
+        .select("_k", "keep_mod", "count")
+        .observe(megaObs,
+          count(when(col("keep_mod").isNotNull, 1)).as("n"),
+          coalesce(sum(when(col("keep_mod").isNotNull, col("count"))), lit(0L)).as("members")),
+      bounds.checkpointDir, "hot")
+    val megaN = megaObs.get("n").asInstanceOf[Long]
+    if (megaN > 0)
+      log.warn(s"boundedSelfJoinPairs: $megaN mega block(s) " +
+        s"totalling ${megaObs.get("members")} members down-sampled to ~${bounds.megaCap} " +
         "members each (deterministic hash-mod)")
     val hot = hot0.select("_k", "keep_mod")
 
@@ -90,8 +120,15 @@ object Dedup {
       .filter(col("keep_mod").isNull ||
         pmod(xxhash64(col("_id")), col("keep_mod")) === 0)
       .select("_k", "_id")
+    // salt hash MUST be independent of the mega-sampling hash above
+    // (xxhash64(_id) mod keep_mod == 0): with the same hash, the
+    // retained members of a down-sampled block all collapse into
+    // salts/gcd(keep_mod, salts) buckets — one straggler task doing
+    // ~megaCap²/2 pairs for exactly the blocks salting exists to
+    // spread. The extra lit(1) column changes the hash stream; pair
+    // coverage is unchanged (left lands in ONE bucket, right in ALL).
     val hl = hotRows.select(col("_k"),
-      pmod(xxhash64(col("_id")), lit(bounds.salts.toLong)).as("_salt"),
+      pmod(xxhash64(col("_id"), lit(1)), lit(bounds.salts.toLong)).as("_salt"),
       col("_id").as("doc_a"))
     val hr = hotRows.select(col("_k"),
       explode(typedlit((0L until bounds.salts.toLong).toArray)).as("_salt"),
@@ -404,6 +441,43 @@ object Dedup {
     docs.select("doc_id").join(fp, Seq("doc_id"), "left")
   }
 
+  /** Oracle-checkable twin of the full simhash PAIRS path (banding AND
+    * verify, not just the fingerprint): [[simhashVerify]]'s md5-vote
+    * hex fingerprints → `maxHamming + 1` nibble-aligned slices
+    * (pigeonhole recall, as in [[simhashPairsFromFingerprints]]) →
+    * bounded slice self-join → EXACT hamming distance over the hex
+    * nibbles. Every step is ANSI-SQL-expressible (substring slices;
+    * hamming = Σ bit_count(nibble_a XOR nibble_b)), so an independent
+    * engine reproduces the exact emitted pair set end-to-end — this
+    * pins the last kernel family whose PAIRS output was rows-only.
+    * Nibble alignment restricts `maxHamming + 1` to divisors of 16.
+    * Hamming is computed over two 32-bit halves (conv of 8 hex chars —
+    * a full 16-char conv would overflow a signed long cast under ANSI).
+    */
+  def simhashPairsVerify(docs: DataFrame, maxHamming: Int = 3,
+      bounds: BlockBounds = BlockBounds()): DataFrame = {
+    val slices = maxHamming + 1
+    require(16 % slices == 0,
+      s"maxHamming $maxHamming: slices ($slices) must divide the 16 hex nibbles")
+    val w = 16 / slices // hex chars per slice
+    val fp = simhashVerify(docs).filter(col("simhash_hex").isNotNull)
+      .localCheckpoint(true) // read by banding AND twice by the verify join
+    val sliceExprs = (0 until slices).map(i =>
+      concat(lit(s"$i:"), substring(col("simhash_hex"), i * w + 1, w)))
+    val sliced = fp.select(col("doc_id"), explode(array(sliceExprs: _*)).as("slice"))
+    val cand = boundedSelfJoinPairs(sliced, Seq("slice"), "doc_id", bounds)
+    def half(c: Column, i: Int): Column =
+      conv(substring(c, i * 8 + 1, 8), 16, 10).cast("long")
+    def hamming(a: Column, b: Column): Column =
+      (bit_count(half(a, 0).bitwiseXOR(half(b, 0))) +
+        bit_count(half(a, 1).bitwiseXOR(half(b, 1)))).cast("long")
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash_hex").as("fp_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash_hex").as("fp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup pairs with a RECALL GUARANTEE: the 64-bit
     * fingerprint is cut into `maxHamming + 1` slices, so by pigeonhole
     * any pair within `maxHamming` differing bits shares at least one
@@ -504,29 +578,59 @@ object Dedup {
       docs: DataFrame,
       n: Int = 1,
       threshold: Double = 0.6,
-      lengthBucket: Int = 100): DataFrame = {
+      lengthBucket: Int = 100): DataFrame =
+    nearDupGroupsWithStats(spark, docs, n, threshold, lengthBucket)._1
+
+  /** [[nearDupGroups]] plus the closure's convergence stats — the
+    * rep-graph design keeps the loop short (OpsSpec pins the iteration
+    * count; driver-serial CC latency was 36% of the round-3 bench).
+    */
+  def nearDupGroupsWithStats(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      n: Int = 1,
+      threshold: Double = 0.6,
+      lengthBucket: Int = 100): (DataFrame, graft.cluster.ConnectedComponents.Stats) = {
     // CC labels are lexicographic-min STRINGS (collision-free at any
     // scale) — zero-pad the numeric ids so string order == numeric
     // order, cast back after. 19 digits covers every non-negative
     // int64 (lpad TRUNCATES over-width input, so the pad width must
     // never be less than the widest possible id).
     def pad(x: Column): Column = lpad(x.cast("string"), 19, "0")
-    // connectivity needs star edges (member -> group rep) + rep-level
-    // pairs, NOT the quadratic member-pair expansion: same components,
-    // linear edge count even for giant identical-boilerplate cliques
+    // The closure runs over the REPRESENTATIVE graph only: docToRep is
+    // a function (one rep per doc) and rep_id is the MIN doc of its
+    // identical-set group, so component(doc) = component(rep(doc)) and
+    // the component's min doc = its min rep — labels extend to members
+    // by one join AFTER the fixpoint. Round 3 fed the member→rep star
+    // edges into the loop itself; correct, but every iteration then
+    // re-shuffled |docs| star edges and cold member labels cost extra
+    // rounds (driver-serial checkpoint latency dominated the bench:
+    // 51 s for this query, 36% of the r3 suite). Same components, same
+    // labels, loop input shrinks from |docs|+|repPairs| edges to
+    // |repPairs| — a giant identical-boilerplate clique never enters
+    // the loop at all (its members collapse to one rep upstream).
     val r = ngramRepPairs(docs, n, threshold, lengthBucket)
-    val edges = r.docToRep.filter(col("doc_id") =!= col("rep_id"))
-      .select(pad(col("doc_id")).as("doc_a"), pad(col("rep_id")).as("doc_b"))
-      .unionAll(r.repPairs
-        .select(pad(col("rep_a")).as("doc_a"), pad(col("rep_b")).as("doc_b")))
-    val ids = docs.select(pad(col("doc_id")).as("doc_id"))
-    val (assign, _) =
-      graft.cluster.ConnectedComponents.assign(spark, ids, edges)
-    val g = assign.select(col("doc_id").cast("long").as("doc_id"),
-      col("entity_id").cast("long").as("group_id"))
+    val repEdges = r.repPairs
+      .select(pad(col("rep_a")).as("src"), pad(col("rep_b")).as("dst"))
+    val (repAssign, ccStats) =
+      graft.cluster.ConnectedComponents.run(spark, repEdges)
+    // member label = its rep's component min (reps without any rep-level
+    // edge keep themselves — rep IS the group min); docs with empty
+    // shingle sets never entered docToRep and stay singletons.
+    val labeled = r.docToRep
+      .select(col("doc_id"), pad(col("rep_id")).as("rep"))
+      .join(repAssign.select(col("doc_id").as("rep"), col("entity_id")),
+        Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("entity_id"), col("rep")).as("glabel"))
+    val singletons = docs.select(col("doc_id"))
+      .join(labeled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), pad(col("doc_id")).as("glabel"))
+    val g = labeled.unionByName(singletons)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("glabel").cast("long").as("group_id"))
     val sizes = g.groupBy("group_id").agg(count(lit(1)).as("group_size"))
-    g.join(sizes, "group_id")
+    (g.join(sizes, "group_id")
       .select(col("doc_id"), col("group_id"), col("group_size"),
-        (col("doc_id") === col("group_id")).as("is_canonical"))
+        (col("doc_id") === col("group_id")).as("is_canonical")), ccStats)
   }
 }

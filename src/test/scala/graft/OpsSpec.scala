@@ -3,6 +3,7 @@ package graft
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Training-data operators over the driver-generated documents /
   * embeddings tables (sf0.001).
@@ -97,6 +98,30 @@ class OpsSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toSet
       assert(got == expected, s"seed $seed: ${got.size} vs ${expected.size}")
     }
+  }
+
+  test("boundedSelfJoinPairs with a durable checkpointDir emits the identical pair set") {
+    // cluster-resumability path: tier frames as parquet snapshots
+    // instead of executor-local localCheckpoint blocks — outputs must
+    // be bit-identical to the in-memory path
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"k${(math.pow(rnd.nextDouble(), 3) * 6).toInt}")
+    }
+    val keyed = rows.toDF("doc_id", "bkey")
+    val dir = java.nio.file.Files.createTempDirectory("bsj_ckpt").toString
+    val mem = Dedup.boundedSelfJoinPairs(keyed, Seq("bkey"), "doc_id",
+        Dedup.BlockBounds(maxBlockSize = 16, megaCap = 64, salts = 4))
+      .as[(Long, Long)].collect().toSet
+    val durable = Dedup.boundedSelfJoinPairs(keyed, Seq("bkey"), "doc_id",
+        Dedup.BlockBounds(maxBlockSize = 16, megaCap = 64, salts = 4,
+          checkpointDir = Some(dir)))
+      .as[(Long, Long)].collect().toSet
+    assert(durable == mem)
+    // and the tier snapshots actually landed in the store
+    val snaps = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try assert(snaps.iterator().asScala.nonEmpty, "no tier snapshot written")
+    finally snaps.close()
   }
 
   test("mega band blocks are down-sampled deterministically, never quadratic") {
@@ -305,6 +330,25 @@ class OpsSpec extends AnyFunSuite {
     val pairs = Dedup.ngramJaccard(df, threshold = 0.55).collect()
     assert(pairs.length == 1)
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
+
+  test("near-dup groups closure runs on the REP graph: few edges, few iterations") {
+    // round 3 fed member→rep star edges into the CC loop (51 s in the
+    // driver bench — 36% of the suite); the rep-graph design keeps the
+    // loop input to rep-level pairs only, so the corpus query's
+    // closure converges in a handful of driver-serial iterations
+    val (groups, stats) =
+      Dedup.nearDupGroupsWithStats(spark, docs, n = 1, threshold = 0.5)
+    assert(groups.count() == docs.count())
+    assert(stats.iterations <= 4,
+      s"rep-graph closure should converge fast, took ${stats.iterations}: ${stats.perIterationEdges}")
+    // loop input is REP pairs only: strictly below the old design's
+    // star-edges + rep-pairs union (star edges alone = one per
+    // non-rep member), and far below the member-pair expansion
+    val repPairCount = stats.perIterationEdges.head
+    val memberPairs = Dedup.ngramJaccard(docs, n = 1, threshold = 0.5).count()
+    assert(repPairCount <= memberPairs,
+      s"loop saw $repPairCount edges > $memberPairs member pairs — star edges leaked in?")
   }
 
   test("near-dup groups: 13-digit doc ids don't collide in the padded CC label space") {
