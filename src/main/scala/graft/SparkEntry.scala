@@ -276,6 +276,14 @@ object SparkEntry {
       // (round 2 filtered at 8 over 4 slices — silent recall hole)
       Dedup.simhashNearDupPairs(t(dir, "documents"), maxHamming = 3)
     }),
+    // Oracle-checkable twin of the full PAIRS path: md5-vote
+    // fingerprints → 4 nibble-aligned slices → exact hamming verify,
+    // all ANSI-SQL — pins banding AND verify cross-engine (the kernel
+    // variant above stays the scale path)
+    "dd_simhash_pairs_verify" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.simhashPairsVerify(t(dir, "documents"), maxHamming = 3)
+    }),
     "dd_embed_near" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.embeddingNearDupPairs(plantedEmbeddings(t(dir, "embeddings")),
@@ -525,6 +533,50 @@ object SparkEntry {
            FROM nibbles GROUP BY doc_id)
          SELECT d.doc_id, fp.simhash_hex
          FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id""",
+    "dd_simhash_pairs_verify" ->
+      """WITH toks AS (
+           SELECT doc_id, t, count(*) AS cnt FROM (
+             SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '')) AS t
+             FROM documents)
+           GROUP BY doc_id, t
+         ), h AS (
+           SELECT doc_id, cnt, substr(md5(t), 1, 16) AS h FROM toks
+         ), bits AS (
+           SELECT doc_id, cnt, g.ci,
+             strpos('0123456789abcdef', substr(h, CAST(g.ci AS INT), 1)) - 1 AS v,
+             wt.w
+           FROM h
+           CROSS JOIN generate_series(1, 16) AS g(ci)
+           CROSS JOIN (VALUES (8),(4),(2),(1)) AS wt(w)
+         ), votes AS (
+           SELECT doc_id, ci, w,
+             sum(cnt * ((CAST(floor(v / w) AS INT) % 2) * 2 - 1)) AS s
+           FROM bits GROUP BY doc_id, ci, w
+         ), nibv AS (
+           SELECT doc_id, ci,
+             sum(CASE WHEN s > 0 THEN 1 ELSE 0 END * w) AS nv
+           FROM votes GROUP BY doc_id, ci
+         ), sl AS (
+           SELECT doc_id, (ci - 1) // 4 AS slice_i,
+             string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1), ''
+               ORDER BY ci) AS slice_v
+           FROM nibv GROUP BY doc_id, (ci - 1) // 4
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sl a JOIN sl b
+             ON a.slice_i = b.slice_i AND a.slice_v = b.slice_v
+               AND a.doc_id < b.doc_id
+         ), ham AS (
+           SELECT c.doc_a, c.doc_b,
+             CAST(sum(bit_count(xor(CAST(na.nv AS INT), CAST(nb.nv AS INT)))) AS BIGINT)
+               AS hamming
+           FROM cand c
+           JOIN nibv na ON na.doc_id = c.doc_a
+           JOIN nibv nb ON nb.doc_id = c.doc_b AND nb.ci = na.ci
+           GROUP BY c.doc_a, c.doc_b)
+         SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""",
     "dd_embed_near" ->
       """WITH base AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
