@@ -245,12 +245,23 @@ object Bench {
     val skipScaling = sys.env.contains("SPARK_GRAFT_SKIP_SCALING")
 
     // --- headline queries ---
+    // SPARK_GRAFT_QUERY_RUNS=k (default 1 — the driver contract):
+    // per-query median of k back-to-back runs. Box-state drift between
+    // single-sample runs of the same HEAD measured 1.6× on this host
+    // (BENCH_r03 141.8 s vs same-day BASELINE 87.0 s); medians make
+    // the committed BASELINE.md numbers the same statistic a reader
+    // should compare the driver JSON against.
+    val queryRuns = sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "1").toInt
     val results = if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Seq.empty else {
       val spark = session(cpus)
       val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        name -> ((System.nanoTime() - t0) / 1e9, n)
+        val samples = (1 to queryRuns).map { _ =>
+          val t0 = System.nanoTime()
+          val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val median = samples.map(_._1).sorted.apply(queryRuns / 2)
+        name -> (median, samples.head._2)
       }
       spark.stop()
       r
