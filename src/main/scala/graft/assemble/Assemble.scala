@@ -31,10 +31,14 @@ object Assemble {
 
   /** Per-doc feature entries: (ftype, desc, canon, usage) — raw
     * description from the spans, grouping key from the normalized
-    * feature columns (the docs frame carries both).
+    * feature columns (the docs frame carries both). Reads the
+    * offset-SORTED spans: extraction is then independent of the
+    * array's physical order (the span-sequence contract is offset
+    * order), and the assembly checkpoint only has to carry ONE copy
+    * of the span data.
     */
   private def docFeatureEntries: Column = {
-    val sp = col("spans")
+    val sp = col("spans_sorted")
     def f(ftype: String, value: Column, canon: Column, usage: Column = lit(null)): Column =
       when(value.isNotNull, struct(lit(ftype).as("ftype"), value.as("desc"),
         coalesce(canon.cast("string"), lower(value)).as("canon"), usage.as("usage")))
@@ -273,6 +277,10 @@ object Assemble {
       .withColumn("spans_sorted", array_sort(col("spans"),
         (l, r) => when(l.getField("offset") < r.getField("offset"), -1)
           .when(l.getField("offset") > r.getField("offset"), 1).otherwise(0)))
+      // spans are the fattest bytes in this frame and the checkpoint
+      // fans into 4 scans — carry the sorted copy ONLY (raw order is
+      // recoverable from offsets; nothing downstream reads it)
+      .drop("spans")
       .transform(d => graft.util.Confs.withJobDesc(d.sparkSession)("assemble_docs")(
         d.localCheckpoint(true))) // fanned into 4 aggregations below
 
