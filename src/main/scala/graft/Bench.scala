@@ -268,15 +268,27 @@ object Bench {
     }
 
     // --- two-parallelism ER scaling run (N=1, 4N=4 cores; identical
-    // job config at both levels; fresh JVM per level — see object doc)
+    // job config at both levels; fresh JVM per level — see object doc).
+    // MEDIAN of SPARK_GRAFT_SCALE_RUNS (default 3) interleaved (4,1)
+    // pairs: this box's run-to-run noise on IDENTICAL code measured a
+    // 48% t4 band (140.1-207.8 s) and 0.526-0.776 efficiency across
+    // five r4 pairs — a single sample is a coin flip, the median is a
+    // statistic. Pairs are interleaved (not 3×t4 then 3×t1) so slow
+    // box drift hits both levels alike.
     val scaling = if (skipScaling) "" else {
-      val (nDocs4N, t4N, f14N) = forkScaleRun(4, scaleN)
-      val (nDocsN, tN, f1N) = forkScaleRun(1, scaleN)
-      require(nDocsN == nDocs4N && f1N == f14N) // parallelism-invariant
+      val scaleRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+      val pairs = (1 to scaleRuns).map { _ =>
+        val (nDocs4N, t4N, f14N) = forkScaleRun(4, scaleN)
+        val (nDocsN, tN, f1N) = forkScaleRun(1, scaleN)
+        require(nDocsN == nDocs4N && f1N == f14N) // parallelism-invariant
+        (nDocsN, tN, t4N, f1N, (tN / t4N) / 4.0)
+      }
+      val effs = pairs.map(_._5).sorted
+      val (nDocsN, tN, t4N, f1N, eff) = pairs.sortBy(_._5).apply(scaleRuns / 2)
       val thrN = nDocsN / tN
-      val thr4N = nDocs4N / t4N
-      val eff = (tN / t4N) / 4.0
-      f""","scaling":{"docs":$nDocsN,"levels":"local[1] vs local[4], fresh JVM per level pinned to N+1 CPUs, identical config (shuffle=16, ParallelGC); one-box lower bound on real N-vs-4N executor scaling; derivation in BASELINE.md","t_n1_sec":$tN%.2f,"t_n4_sec":$t4N%.2f,"docs_per_sec_1":$thrN%.0f,"docs_per_sec_4":$thr4N%.0f,"efficiency":$eff%.3f,"synthetic_pair_f1":$f1N%.4f}"""
+      val thr4N = nDocsN / t4N
+      val effList = effs.map(e => f"$e%.3f").mkString("[", ",", "]")
+      f""","scaling":{"docs":$nDocsN,"levels":"local[1] vs local[4], fresh JVM per level pinned to N+1 CPUs, identical config (shuffle=16, ParallelGC); one-box lower bound on real N-vs-4N executor scaling; derivation in BASELINE.md","runs":$scaleRuns,"efficiency_runs":$effList,"t_n1_sec":$tN%.2f,"t_n4_sec":$t4N%.2f,"docs_per_sec_1":$thrN%.0f,"docs_per_sec_4":$thr4N%.0f,"efficiency":$eff%.3f,"synthetic_pair_f1":$f1N%.4f}"""
     }
 
     val qs = results.map { case (k, (sec, _)) => "\"" + k + f"""\":$sec%.3f""" }
