@@ -251,7 +251,7 @@ object Bench {
     // (BENCH_r03 141.8 s vs same-day BASELINE 87.0 s); medians make
     // the committed BASELINE.md numbers the same statistic a reader
     // should compare the driver JSON against.
-    val queryRuns = sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "1").toInt
+    val queryRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "1").toInt)
     val results = if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Seq.empty else {
       val spark = session(cpus)
       val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -260,8 +260,14 @@ object Bench {
           val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
           ((System.nanoTime() - t0) / 1e9, n)
         }
-        val median = samples.map(_._1).sorted.apply(queryRuns / 2)
-        name -> (median, samples.head._2)
+        // median over SUCCESSFUL samples only (a failed run's elapsed is
+        // time-to-exception, not query time); any failure surfaces as
+        // rows=-1 so a flaky query can't hide behind a clean median
+        val ok = samples.filter(_._2 >= 0)
+        val rows = if (ok.size == samples.size) ok.head._2 else -1L
+        val timed = if (ok.nonEmpty) ok else samples
+        val median = timed.map(_._1).sorted.apply(timed.size / 2)
+        name -> (median, rows)
       }
       spark.stop()
       r
@@ -276,7 +282,7 @@ object Bench {
     // statistic. Pairs are interleaved (not 3×t4 then 3×t1) so slow
     // box drift hits both levels alike.
     val scaling = if (skipScaling) "" else {
-      val scaleRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+      val scaleRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt)
       val pairs = (1 to scaleRuns).map { _ =>
         val (nDocs4N, t4N, f14N) = forkScaleRun(4, scaleN)
         val (nDocsN, tN, f1N) = forkScaleRun(1, scaleN)

@@ -36,6 +36,39 @@ object ConnectedComponents {
 
   final case class Stats(iterations: Int, perIterationEdges: Seq[Long])
 
+  /** large-star: connect every neighbor larger than u to the min of
+    * u's closed neighborhood. Exposed private[graft] so measurement
+    * probes (tools.FuseProbe) exercise THIS implementation, not a
+    * copy that could drift from what the loop actually runs.
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val bidir = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+    val mins = bidir.groupBy("u")
+      .agg(least(min(col("v")), first(col("u"))).as("m"))
+    bidir.filter(col("v") > col("u"))
+      .join(mins, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** small-star: point every smaller-or-equal neighbor (and u itself)
+    * at the min of u's smaller neighborhood.
+    */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val directed = e.select(
+      greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+    val mins = directed.groupBy("u").agg(min(col("v")).as("m"))
+    val moved = directed.join(mins, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+    val self = mins.select(col("u").as("src"), col("m").as("dst"))
+    moved.unionAll(self)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   /** Driver-side union-find finish over a COLLECTED frontier (bounded
     * by `localFinishEdges` rows — the caller checks the observed count
     * before entering). Union-by-size with path compression, then label
@@ -70,11 +103,19 @@ object ConnectedComponents {
     }
     val nodes = new java.util.HashSet[String]()
     rows.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    // "min" MUST mean what the distributed loop's least()/min() mean:
+    // UTF8String binary order (unsigned UTF-8 bytes == code points).
+    // Java String '<' is UTF-16 code-unit order, which disagrees for
+    // supplementary characters (surrogates sort below U+E000..U+FFFF)
+    // — labels would then depend on which phase finished the component.
+    def utf8Lt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
     val minOf = new java.util.HashMap[String, String]()
     nodes.forEach { n =>
       val r = find(n)
       val cur = minOf.get(r)
-      if (cur == null || n < cur) minOf.put(r, n)
+      if (cur == null || utf8Lt(n, cur)) minOf.put(r, n)
     }
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
     nodes.forEach { n =>
@@ -128,35 +169,6 @@ object ConnectedComponents {
       } finally spark.sparkContext.setJobDescription(null)
       val row = obs.get
       (out, (row("n").asInstanceOf[Long], row("h").asInstanceOf[Long]))
-    }
-
-    // large-star: connect every neighbor larger than u to the min of
-    // u's closed neighborhood.
-    def largeStar(e: DataFrame): DataFrame = {
-      val bidir = e.select(col("src").as("u"), col("dst").as("v"))
-        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
-      val mins = bidir.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      bidir.filter(col("v") > col("u"))
-        .join(mins, "u")
-        .select(col("v").as("src"), col("m").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-    }
-
-    // small-star: point every smaller-or-equal neighbor (and u itself)
-    // at the min of u's smaller neighborhood.
-    def smallStar(e: DataFrame): DataFrame = {
-      val directed = e.select(
-        greatest(col("src"), col("dst")).as("u"),
-        least(col("src"), col("dst")).as("v"))
-      val mins = directed.groupBy("u").agg(min(col("v")).as("m"))
-      val moved = directed.join(mins, "u")
-        .select(col("v").as("src"), col("m").as("dst"))
-      val self = mins.select(col("u").as("src"), col("m").as("dst"))
-      moved.unionAll(self)
-        .filter(col("src") =!= col("dst"))
-        .distinct()
     }
 
     // AQE is scoped OFF for the iteration loop: each iteration is ~6

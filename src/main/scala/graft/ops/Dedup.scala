@@ -41,11 +41,19 @@ object Dedup {
 
   /** Materialize a tier frame: durable parquet snapshot when a
     * checkpoint dir is configured, localCheckpoint otherwise.
+    *
+    * Snapshot paths are numbered by a session-monotonic counter, NOT a
+    * UUID: a fresh driver restarts the counter at 0 and OVERWRITES the
+    * previous run's snapshots, so the store stays bounded by the
+    * busiest session ever run against it (the same self-limiting
+    * discipline as the CC loop's cc_iter_N paths) instead of leaking a
+    * new directory per invocation forever.
     */
+  private val tierSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private def materializeTier(df: DataFrame, dir: Option[String], tag: String): DataFrame =
     dir match {
       case Some(d) =>
-        val path = s"$d/bsj_${tag}_${java.util.UUID.randomUUID}"
+        val path = s"$d/bsj_${tag}_${tierSeq.getAndIncrement}"
         df.write.mode("overwrite").parquet(path)
         df.sparkSession.read.parquet(path)
       case None => df.localCheckpoint(true)
@@ -465,7 +473,16 @@ object Dedup {
     val sliceExprs = (0 until slices).map(i =>
       concat(lit(s"$i:"), substring(col("simhash_hex"), i * w + 1, w)))
     val sliced = fp.select(col("doc_id"), explode(array(sliceExprs: _*)).as("slice"))
-    val cand = boundedSelfJoinPairs(sliced, Seq("slice"), "doc_id", bounds)
+    // SALT-ONLY bounds (megaCap forced off, like ngramRepPairs): the
+    // oracle does the FULL slice self-join, so mega down-sampling here
+    // would silently drop hamming<=maxHamming pairs on exactly the
+    // boilerplate-heavy corpora this family targets and break the
+    // cross-engine exactness this twin exists to pin. Hot slices still
+    // spread over salts; they just never lose members. (The xxhash
+    // kernel path keeps its bounded behavior — it is the documented
+    // scale path, rows-only by design.)
+    val cand = boundedSelfJoinPairs(sliced, Seq("slice"), "doc_id",
+      bounds.copy(megaCap = Int.MaxValue))
     def half(c: Column, i: Int): Column =
       conv(substring(c, i * 8 + 1, 8), 16, 10).cast("long")
     def hamming(a: Column, b: Column): Column =

@@ -19,29 +19,9 @@ object FuseProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    def largeStar(e: DataFrame): DataFrame = {
-      val bidir = e.select(col("src").as("u"), col("dst").as("v"))
-        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
-      val mins = bidir.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      bidir.filter(col("v") > col("u"))
-        .join(mins, "u")
-        .select(col("v").as("src"), col("m").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      val directed = e.select(
-        greatest(col("src"), col("dst")).as("u"),
-        least(col("src"), col("dst")).as("v"))
-      val mins = directed.groupBy("u").agg(min(col("v")).as("m"))
-      val moved = directed.join(mins, "u")
-        .select(col("v").as("src"), col("m").as("dst"))
-      val self = mins.select(col("u").as("src"), col("m").as("dst"))
-      moved.unionAll(self)
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-    }
+    // the REAL operators (private[graft]) — a probe measuring a copy
+    // would silently drift from what the loop actually runs
+    import graft.cluster.ConnectedComponents.{largeStar, smallStar}
 
     // star-ish random graph, 4k edges
     val rnd = new scala.util.Random(42)

@@ -61,6 +61,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(dist == cc(edges), "local union-find finish must produce the loop's fixpoint labels")
   }
 
+  test("local finish uses UTF8 binary order, matching the loop's least()/min()") {
+    // U+1F600 (surrogate pair) vs U+FFFF: Java UTF-16 order puts the
+    // surrogate pair FIRST, Spark's UTF8String (code-point) order puts
+    // U+FFFF first — labels must not depend on which phase finishes
+    val hi = "￿"          // U+FFFF
+    val emoji = "😀" // U+1F600 — code point ABOVE U+FFFF
+    assert(emoji < hi, "precondition: Java order disagrees with code-point order")
+    val edges = Seq((hi, emoji))
+    val local = cc(edges)
+    val (distAssign, _) = ConnectedComponents.run(
+      spark, edges.toDF("src", "dst"), localFinishEdges = 0L)
+    val dist = distAssign.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local == dist, "labels must be phase-invariant")
+    assert(local.values.toSet == Set(hi), s"component min must be U+FFFF, got ${local.values.toSet}")
+  }
+
   test("larger random graph matches a driver-side union-find oracle") {
     val rnd = new scala.util.Random(7)
     val n = 300

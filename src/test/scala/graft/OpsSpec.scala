@@ -386,6 +386,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == got(1L), "token multiplicity weights the vote")
   }
 
+  test("simhash PAIRS verify twin never down-samples: identical-boilerplate cliques keep every pair") {
+    // the twin's contract is cross-engine EXACTNESS (the DuckDB oracle
+    // does the full slice self-join), so a mega slice must spread over
+    // salts, never lose members — even when the caller's bounds carry
+    // a small megaCap (regression: the twin once used the bounds as-is)
+    val n = 30
+    val clique = (1L to n.toLong).map(i => (i, "common boilerplate text"))
+    val lone = Seq((100L, "utterly unrelated zebra quartz"))
+    val df = (clique ++ lone).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsVerify(df, maxHamming = 3,
+      bounds = Dedup.BlockBounds(maxBlockSize = 4, megaCap = 8, salts = 2))
+    assert(pairs.filter(col("hamming") === 0).count() == n * (n - 1) / 2,
+      "every identical-fingerprint pair must survive")
+  }
+
   test("winnow verify twin: md5-window min matches an independent JVM computation; short docs null") {
     val text = "The   quick Brown fox jumps over the lazy dog"
     val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
