@@ -298,6 +298,12 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Similarity.lshTopK(t(dir, "embeddings"), probeIds = 0L until 10L, k = 5)
     }),
+    // IVF coarse-quantizer variant (rows-only like the LSH path;
+    // recall@5 >= 0.9 gated vs brute force in OpsSpec)
+    "ann_ivf_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Similarity.ivfTopK(t(dir, "embeddings"), probeIds = 0L until 10L, k = 5)
+    }),
     "ta_langid" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       TextAnalysis.langId(t(dir, "documents")).select("doc_id", "lang", "lang_pred")

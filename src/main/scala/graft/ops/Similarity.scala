@@ -64,6 +64,84 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Score bounded (probe_id, neighbor_id) candidates and keep the
+    * cosine top-k per probe — the shared tail of every ANN variant.
+    * Candidates arrive as IDS ONLY; vectors join back exactly once.
+    */
+  private def topKFromCandidates(
+      embeddings: DataFrame, cand: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
+    val probeVecs = embeddings.filter(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val scored = cand
+      .join(broadcast(probeVecs), "probe_id")
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nbr_vec")), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("probe_vec"), col("nbr_vec")).as("cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path alongside [[lshTopK]] (FAISS-IVF shape: Johnson et al.,
+    * "Billion-scale similarity search with GPUs", §4 — minus the
+    * k-means refinement, which only moves the centroids, not the
+    * algorithm): `nlist` deterministically hash-sampled corpus vectors
+    * act as centroids, every vector is assigned to its nearest centroid
+    * by cosine (its Voronoi cell), and each probe scans only its
+    * `nprobe` nearest cells.
+    *
+    * Scale shape: the quantizer is `nlist` rows COLLECTED ONCE (bounded
+    * config-sized state, like the probe-id literal), assignment is one
+    * explode-over-literal pass — whole-stage codegen, NO join, no
+    * shuffle of vectors — followed by a map-side-combining argmax;
+    * candidates move ids only. At 10^12 docs the per-cell candidate
+    * count is |corpus|·nprobe/nlist in expectation — nlist is the knob
+    * that bounds the scan exactly like an IVF index on one node.
+    */
+  def ivfTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
+      nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+    // deterministic "training" sample: nlist corpus vectors in
+    // xxhash64(vec_id) order (id tiebreak) — no RNG, stable across
+    // runs, resumes and parallelism
+    val centData = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    val cents = explode(typedlit(centData)).as("c")
+    def nearestCells(df: DataFrame, keep: Int): DataFrame = {
+      val scored = df.select(col("vec_id"), col("embedding"), cents)
+        .select(col("vec_id"), col("c._1").as("centroid_id"),
+          cosine(col("embedding"), col("c._2")).as("ccos"))
+      if (keep == 1)
+        // argmax as a map-side-combining aggregate (struct order:
+        // best cosine, then highest centroid id — deterministic)
+        scored.groupBy("vec_id")
+          .agg(max(struct(col("ccos"), col("centroid_id"))).as("m"))
+          .select(col("vec_id"), col("m.centroid_id").as("centroid_id"))
+      else {
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("centroid_id").asc)
+        scored.withColumn("r", row_number().over(w)).filter(col("r") <= keep)
+          .select(col("vec_id"), col("centroid_id"))
+      }
+    }
+    val cells = nearestCells(embeddings, 1)
+    val probeCells = nearestCells(
+      embeddings.filter(col("vec_id").isin(probeIds: _*)), nprobe)
+      .withColumnRenamed("vec_id", "probe_id")
+    val cand = cells.join(broadcast(probeCells), "centroid_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id")).distinct()
+    topKFromCandidates(embeddings, cand, probeIds, k)
+  }
+
   /** LSH-bucketed approximate top-k: probes only scan vectors sharing
     * a hyperplane bucket in ANY of `tables` independent tables (union
     * of tables trades a bounded constant of extra candidates for much
@@ -81,18 +159,6 @@ object Similarity {
     val cand = bucketed.join(broadcast(probeBuckets), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id")).distinct()
-    val probeVecs = embeddings.filter(col("vec_id").isin(probeIds: _*))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    val scored = cand
-      .join(broadcast(probeVecs), "probe_id")
-      .join(embeddings.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("nbr_vec")), "neighbor_id")
-      .select(col("probe_id"), col("neighbor_id"),
-        cosine(col("probe_vec"), col("nbr_vec")).as("cosine"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topKFromCandidates(embeddings, cand, probeIds, k)
   }
 }

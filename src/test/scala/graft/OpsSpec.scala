@@ -258,6 +258,36 @@ class OpsSpec extends AnyFunSuite {
     assert(lshDf.groupBy("probe_id").count().filter(col("count") > 5).count() == 0)
   }
 
+  test("IVF ANN recall@5 >= 0.9 vs brute force on planted neighbors (default params)") {
+    // same planted-neighbor gate as the LSH variant: five near-copies
+    // per probe (cos ≈ 0.999 vs ~0.45 background) — a miss means the
+    // probe's cell assignment lost a planted vector to a neighboring
+    // Voronoi cell that nprobe didn't cover
+    val probes = Seq(0L, 1L, 2L)
+    val srcs = probes.toDF("src")
+      .join(embeddings.withColumnRenamed("vec_id", "src"), "src")
+    val planted = srcs
+      .crossJoin(spark.range(5).toDF("j"))
+      .withColumn("pert", transform(col("embedding"),
+        (x, i) => (x.cast("double") +
+          (pmod(col("j") * 7 + i, lit(5)) - 2) / lit(1000.0)).cast("float")))
+      .select((lit(5000000L) + col("src") * 10 + col("j")).as("vec_id"),
+        col("pert").as("embedding"))
+    val all = embeddings.select("vec_id", "embedding").unionByName(planted)
+      .localCheckpoint(true)
+    val bf = Similarity.bruteForceTopK(all, probes, k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfDf = Similarity.ivfTopK(all, probes, k = 5) // default nlist/nprobe
+    val ivf = ivfDf.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"IVF recall@5 $recall < 0.9")
+    assert(ivfDf.groupBy("probe_id").count().filter(col("count") > 5).count() == 0)
+    // deterministic: hash-sampled quantizer + id tiebreaks, run-to-run
+    val again = Similarity.ivfTopK(all, probes, k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == ivf, "IVF results must be deterministic across runs")
+  }
+
   test("language id: deterministic markers classify crafted texts; salad → defined label") {
     val crafted = Seq(
       (1L, "the cat and the dog is here"),
