@@ -284,10 +284,15 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.simhashPairsVerify(t(dir, "documents"), maxHamming = 3)
     }),
+    // salt-only bounds: this query is HASH-EXACT vs a full-join DuckDB
+    // oracle, so mega-bucket down-sampling (fine for the operator's
+    // default scale path) must be off here — a boilerplate bucket at a
+    // bigger sf would otherwise silently break parity
     "dd_embed_near" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.embeddingNearDupPairs(plantedEmbeddings(t(dir, "embeddings")),
-        tables = 6, planes = 8, threshold = 0.95, quantized = true)
+        tables = 6, planes = 8, threshold = 0.95, quantized = true,
+        bounds = Dedup.BlockBounds(megaCap = Int.MaxValue))
     }),
     "ann_cosine_topk" -> ((s, dir) => {
       implicit val sp: SparkSession = s

@@ -390,7 +390,12 @@ object Dedup {
         v => v.getField("mh")), "|").as("bandkey"))
       .select(col("doc_id"),
         concat(col("band").cast("string"), lit(":"), col("bandkey")).as("band"))
-    val cand = boundedSelfJoinPairs(banded, Seq("band"), "doc_id", bounds)
+    // SALT-ONLY bounds: this is the ORACLE-EXACT twin (DuckDB does the
+    // full band self-join), so a mega band must spread over salts, not
+    // lose members — same contract as simhashPairsVerify; the xxhash
+    // kernel variant keeps the bounded scale behavior.
+    val cand = boundedSelfJoinPairs(banded, Seq("band"), "doc_id",
+      bounds.copy(megaCap = Int.MaxValue))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
