@@ -279,10 +279,15 @@ object SparkEntry {
     // Oracle-checkable twin of the full PAIRS path: md5-vote
     // fingerprints → 4 nibble-aligned slices → exact hamming verify,
     // all ANSI-SQL — pins banding AND verify cross-engine (the kernel
-    // variant above stays the scale path)
+    // variant above stays the scale path). Deterministic doc subset
+    // bounds its cost at larger sf — the explode-heavy md5-vote
+    // fingerprint (tokens × 16 nibbles × 4 bit-weights) is the twin's
+    // portability price, not the scale path, so it need not pay it
+    // over the full table (same bound as dd_minhash_verify).
     "dd_simhash_pairs_verify" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Dedup.simhashPairsVerify(t(dir, "documents"), maxHamming = 3)
+      Dedup.simhashPairsVerify(
+        t(dir, "documents").filter(col("doc_id") < 1000), maxHamming = 3)
     }),
     // salt-only bounds: this query is HASH-EXACT vs a full-join DuckDB
     // oracle, so mega-bucket down-sampling (fine for the operator's
@@ -337,9 +342,12 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.mediaMetaColumns(Multimodal.withSyntheticMedia(t(dir, "documents")))
     }),
-    "mm_decode_stub" -> ((s, dir) => { // mapPartitions decode stage — rows-only
+    // real container decode (16-byte md5 header ‖ UTF-8 payload):
+    // header verified against a recomputed payload checksum, payload
+    // decoded — oracle-checked end-to-end (md5/octet_length portable)
+    "mm_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Multimodal.decodeStub(s, Multimodal.withSyntheticMedia(t(dir, "documents"))).toDF()
+      Multimodal.decode(s, Multimodal.withSyntheticMedia(t(dir, "documents"))).toDF()
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -550,7 +558,7 @@ object SparkEntry {
              SELECT doc_id,
                unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                  x -> x <> '')) AS t
-             FROM documents)
+             FROM documents WHERE doc_id < 1000)
            GROUP BY doc_id, t
          ), h AS (
            SELECT doc_id, cnt, substr(md5(t), 1, 16) AS h FROM toks
@@ -691,5 +699,16 @@ object SparkEntry {
       """SELECT doc_id,
            16 + octet_length(encode(text)) AS media_bytes,
            upper(substr(md5(text), 1, 8)) AS header_hex
+         FROM documents""",
+    // the container is md5(payload) ‖ payload, so a correct decode
+    // returns exactly these values — any header/payload/charset slip
+    // on the Spark side breaks the hash compare
+    "mm_decode" ->
+      """SELECT doc_id,
+           16 + octet_length(encode(text)) AS media_bytes,
+           octet_length(encode(text)) AS payload_bytes,
+           CAST(1 AS INT) AS header_ok,
+           md5(text) AS payload_md5,
+           text AS decoded_text
          FROM documents""")
 }

@@ -314,20 +314,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal: plumbing carries bytes; decode stub is deterministic") {
+  test("multimodal: decode verifies the md5 header and round-trips the payload") {
     val wm = Multimodal.withSyntheticMedia(docs.limit(50))
     val meta = Multimodal.mediaMetaColumns(wm).collect()
     meta.foreach { r =>
       assert(r.getAs[Int]("media_bytes") > 16)
       assert(r.getAs[String]("header_hex").length == 8)
     }
-    val d1 = Multimodal.decodeStub(spark, wm).collect().sortBy(_.doc_id)
-    val d2 = Multimodal.decodeStub(spark, wm).collect().sortBy(_.doc_id)
-    assert(d1.toSeq == d2.toSeq)
+    val original = docs.limit(50).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val d1 = Multimodal.decode(spark, wm).collect().sortBy(_.doc_id)
+    val d2 = Multimodal.decode(spark, wm).collect().sortBy(_.doc_id)
+    assert(d1.toSeq == d2.toSeq) // deterministic
+    assert(d1.length == 50)
     d1.foreach { m =>
-      assert(m.fake_width >= 64 && m.fake_width < 128)
-      assert(m.media_bytes > 16)
+      assert(m.header_ok == 1, s"checksum failed for doc ${m.doc_id}")
+      assert(m.decoded_text == original(m.doc_id)) // payload round-trips
+      assert(m.media_bytes == m.payload_bytes + 16)
+      assert(m.payload_md5.matches("[0-9a-f]{32}"))
     }
+    // corrupted header → header_ok = 0, payload still decodes
+    import org.apache.spark.sql.functions.{concat, expr, substring}
+    val corrupt = wm.withColumn("media",
+      concat(expr("X'00000000'"), substring(col("media"), 5, Int.MaxValue)))
+    val dc = Multimodal.decode(spark, corrupt).collect()
+    assert(dc.forall(_.header_ok == 0))
+    assert(dc.map(m => m.doc_id -> m.decoded_text).toMap == original)
+    // truncated container (< 16 bytes) → degraded row, no throw
+    val trunc = wm.withColumn("media", substring(col("media"), 1, 7))
+    val dt = Multimodal.decode(spark, trunc).collect()
+    assert(dt.forall(m => m.header_ok == 0 && m.payload_md5 == null
+      && m.decoded_text == null && m.media_bytes == 7))
     assert(Multimodal.frameSample(wm).count() > 0)
   }
 
