@@ -85,6 +85,27 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF list count for an `n`-vector corpus — the √n rule every IVF
+    * implementation documents (FAISS guidelines: nlist between √n and
+    * 16√n; we take √n and clamp), mirroring [[graft.ops.Dedup.planesFor]].
+    * At 10^12 vectors this yields 10^6 cells — far past
+    * `centroidLiteralMax`, so the broadcast-join assignment path (not
+    * the codegen literal) is what runs at scale.
+    */
+  def nlistFor(n: Long): Int =
+    math.min(1 << 20, math.max(32, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Above this nlist, Voronoi assignment switches from an
+    * explode-over-codegen-literal (zero joins, but the literal lives
+    * inside generated code — janino cannot carry a multi-MB constant,
+    * let alone the multi-hundred-MB table nlist≈10^6 implies) to a
+    * broadcast hash join against a centroids DataFrame (one
+    * torrent-broadcast per executor, streamed — the standard
+    * big-small join). Both paths are spec-pinned to produce identical
+    * cells.
+    */
+  val centroidLiteralMax = 1024
+
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     * path alongside [[lshTopK]] (FAISS-IVF shape: Johnson et al.,
     * "Billion-scale similarity search with GPUs", §4 — minus the
@@ -94,31 +115,43 @@ object Similarity {
     * by cosine (its Voronoi cell), and each probe scans only its
     * `nprobe` nearest cells.
     *
-    * Scale shape: the quantizer is `nlist` rows COLLECTED ONCE (bounded
-    * config-sized state, like the probe-id literal), assignment is one
-    * explode-over-literal pass — whole-stage codegen, NO join, no
-    * shuffle of vectors — followed by a map-side-combining argmax;
-    * candidates move ids only. At 10^12 docs the per-cell candidate
-    * count is |corpus|·nprobe/nlist in expectation — nlist is the knob
-    * that bounds the scan exactly like an IVF index on one node.
+    * Scale shape: the quantizer is `nlist` rows (√n per [[nlistFor]]);
+    * assignment is one pass over the corpus — explode-over-literal
+    * (whole-stage codegen, no join) for small quantizers, a broadcast
+    * hash join above [[centroidLiteralMax]] — followed by a
+    * map-side-combining argmax; candidates move ids only. At 10^12
+    * docs the per-cell candidate count is |corpus|·nprobe/nlist in
+    * expectation — nlist is the knob that bounds the scan exactly
+    * like an IVF index on one node.
     */
   def ivfTopK(embeddings: DataFrame, probeIds: Seq[Long], k: Int,
-      nlist: Int = 32, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 32, nprobe: Int = 4,
+      literalMax: Int = centroidLiteralMax): DataFrame = {
     // deterministic "training" sample: nlist corpus vectors in
     // xxhash64(vec_id) order (id tiebreak) — no RNG, stable across
     // runs, resumes and parallelism
-    val centData = embeddings
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+    val centroids = embeddings
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
       .limit(nlist)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq
-    val cents = explode(typedlit(centData)).as("c")
+    // (vec_id, centroid_id, ccos) for every (vector, centroid) pair;
+    // literal and broadcast-join shapes are semantically identical
+    // (spec-pinned) — only where the centroid table LIVES differs
+    def scoredAgainstCentroids(df: DataFrame): DataFrame =
+      if (nlist <= literalMax) {
+        val centData = centroids.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        df.select(col("vec_id"), col("embedding"),
+            explode(typedlit(centData)).as("c"))
+          .select(col("vec_id"), col("c._1").as("centroid_id"),
+            cosine(col("embedding"), col("c._2")).as("ccos"))
+      } else
+        df.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(centroids))
+          .select(col("vec_id"), col("centroid_id"),
+            cosine(col("embedding"), col("centroid_vec")).as("ccos"))
     def nearestCells(df: DataFrame, keep: Int): DataFrame = {
-      val scored = df.select(col("vec_id"), col("embedding"), cents)
-        .select(col("vec_id"), col("c._1").as("centroid_id"),
-          cosine(col("embedding"), col("c._2")).as("ccos"))
+      val scored = scoredAgainstCentroids(df)
       if (keep == 1)
         // argmax as a map-side-combining aggregate (struct order:
         // best cosine, then highest centroid id — deterministic)

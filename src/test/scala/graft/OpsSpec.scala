@@ -288,6 +288,28 @@ class OpsSpec extends AnyFunSuite {
     assert(again == ivf, "IVF results must be deterministic across runs")
   }
 
+  test("IVF centroid paths: codegen literal and broadcast join yield identical results") {
+    // the scale path (nlist ≈ √n → 10^6 at 10^12 vectors) cannot live
+    // in a codegen literal; pin that switching to the broadcast-join
+    // quantizer changes NOTHING semantically at a nlist both can run
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    def run(literalMax: Int) =
+      Similarity.ivfTopK(embeddings, probes, k = 5, nlist = 64, nprobe = 4,
+        literalMax = literalMax)
+        .select("probe_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val viaLiteral = run(literalMax = 1024) // 64 <= 1024 → typedlit path
+    val viaBroadcast = run(literalMax = 1)  // 64 > 1 → broadcast-join path
+    assert(viaLiteral == viaBroadcast,
+      "centroid-literal and broadcast-join IVF paths must be bit-identical")
+    assert(viaLiteral.nonEmpty)
+    // nlistFor: √n clamped to [32, 2^20]
+    assert(Similarity.nlistFor(100L) == 32)
+    assert(Similarity.nlistFor(1000000L) == 1000)
+    assert(Similarity.nlistFor(1000L * 1000 * 1000 * 1000) == 1000000)
+    assert(Similarity.nlistFor(Long.MaxValue) == (1 << 20)) // clamp ceiling
+  }
+
   test("language id: deterministic markers classify crafted texts; salad → defined label") {
     val crafted = Seq(
       (1L, "the cat and the dog is here"),
