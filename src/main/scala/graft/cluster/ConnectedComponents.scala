@@ -135,7 +135,7 @@ object ConnectedComponents {
       edges: DataFrame,
       maxIterations: Int = 50,
       checkpointDir: Option[String] = None,
-      localFinishEdges: Long = 500000L): (DataFrame, Stats) = {
+      localFinishEdges: Long = 100000L): (DataFrame, Stats) = {
 
     // Per-iteration materialization MUST truncate the logical plan
     // (localCheckpoint / parquet snapshot), not merely persist: each
@@ -216,7 +216,12 @@ object ConnectedComponents {
         // frontier: same labels by construction (union-by-min ==
         // component-min), one bounded job instead of a per-round tail.
         // 100 TB stance: the collect is capped at `localFinishEdges`
-        // ROWS regardless of corpus size (≈40 MB at the default) — at
+        // ROWS regardless of corpus size. Driver-heap honesty: each
+        // row is two ~19-char Java Strings (~80 B each w/ header) plus
+        // a tuple, and the union-find keeps four id-keyed maps/sets —
+        // ~0.5 KB/edge all-in, so the 100k default is ~50 MB of
+        // driver objects (the old 500k default was ~250 MB — a 1g
+        // default driver heap could OOM). At
         // 10^12 docs the loop still runs its distributed O(log n)
         // rounds and only the last few latency-bound rounds collapse.
         // (Per-iteration step fusion was measured first and LOST: a
@@ -262,7 +267,7 @@ object ConnectedComponents {
       docIds: DataFrame, // (doc_id)
       resolvedEdges: DataFrame, // (doc_a, doc_b)
       checkpointDir: Option[String] = None,
-      localFinishEdges: Long = 500000L): (DataFrame, Stats) = {
+      localFinishEdges: Long = 100000L): (DataFrame, Stats) = {
     val (members, stats) = run(spark,
       resolvedEdges.select(col("doc_a").as("src"), col("doc_b").as("dst")),
       checkpointDir = checkpointDir, localFinishEdges = localFinishEdges)

@@ -42,18 +42,23 @@ object Dedup {
   /** Materialize a tier frame: durable parquet snapshot when a
     * checkpoint dir is configured, localCheckpoint otherwise.
     *
-    * Snapshot paths are numbered by a session-monotonic counter, NOT a
-    * UUID: a fresh driver restarts the counter at 0 and OVERWRITES the
-    * previous run's snapshots, so the store stays bounded by the
-    * busiest session ever run against it (the same self-limiting
-    * discipline as the CC loop's cc_iter_N paths) instead of leaking a
-    * new directory per invocation forever.
+    * Snapshot paths live under `<dir>/<applicationId>/` (the same
+    * convention as SparkContext.setCheckpointDir's per-app subdir):
+    * two applications pointed at one checkpointDir — e.g. a streaming
+    * job and a batch job sharing config — must never clobber each
+    * other's live tier snapshots mid-query, which a bare
+    * session-monotonic counter with mode(overwrite) would do (both
+    * apps start at bsj_*_0). WITHIN an app the counter keeps the store
+    * bounded; ACROSS app restarts the per-app subdir is garbage like
+    * any Spark checkpoint dir — reaping dead-app subdirs is the
+    * operator's standard checkpoint-hygiene job.
     */
   private val tierSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private def materializeTier(df: DataFrame, dir: Option[String], tag: String): DataFrame =
     dir match {
       case Some(d) =>
-        val path = s"$d/bsj_${tag}_${tierSeq.getAndIncrement}"
+        val appId = df.sparkSession.sparkContext.applicationId
+        val path = s"$d/$appId/bsj_${tag}_${tierSeq.getAndIncrement}"
         df.write.mode("overwrite").parquet(path)
         df.sparkSession.read.parquet(path)
       case None => df.localCheckpoint(true)

@@ -159,6 +159,32 @@ class FixtureResolveSpec extends AnyFunSuite {
     assert(lineage.agg(sum("rows")).head().getLong(0) == r3.edges.count())
   }
 
+  test("durable path: snapshotRoot + checkpointDir resolve is byte-identical to default") {
+    // Job-level composition of BOTH durability knobs: stage outputs as
+    // atomic snapshots AND the candidate join's tier frames as durable
+    // parquet (threaded ResolveJob.Config.checkpointDir →
+    // Blocking.Config → Dedup.BlockBounds). The tier-frame equality is
+    // OpsSpec-pinned; this pins the full-resolve composition.
+    val root = java.nio.file.Files.createTempDirectory("durroot").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("durckpt").toString
+    val durable = ResolveJob.run(spark, docs,
+      ResolveJob.Config(snapshotRoot = Some(root), checkpointDir = Some(ckpt)))
+    val defLines = Assemble.toExportJson(result.entities)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val durLines = Assemble.toExportJson(durable.entities)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(durLines == defLines, "durable-path export differs from default path")
+    val aDef = result.assignments.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val aDur = durable.assignments.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(aDef == aDur)
+    // the durable run actually wrote tier snapshots under its appId dir
+    val appDir = java.nio.file.Paths.get(ckpt, spark.sparkContext.applicationId)
+    assert(java.nio.file.Files.exists(appDir),
+      s"no per-app tier snapshot dir under $ckpt")
+  }
+
   test("resume: committed snapshots re-read byte-identically") {
     val tmp = java.nio.file.Files.createTempDirectory("snapstore2").toString
     val store = new SnapshotStore(tmp)
