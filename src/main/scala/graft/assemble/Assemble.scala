@@ -32,13 +32,13 @@ object Assemble {
   /** Per-doc feature entries: (ftype, desc, canon, usage) — raw
     * description from the spans, grouping key from the normalized
     * feature columns (the docs frame carries both). Reads the
-    * offset-SORTED spans: extraction is then independent of the
-    * array's physical order (the span-sequence contract is offset
-    * order), and the assembly checkpoint only has to carry ONE copy
-    * of the span data.
+    * offset-SORTED spans out of the export-shaped RECORD struct:
+    * extraction is then independent of the array's physical order
+    * (the span-sequence contract is offset order), and the assembly
+    * checkpoint only has to carry ONE copy of the span data.
     */
   private def docFeatureEntries: Column = {
-    val sp = col("spans_sorted")
+    val sp = col("record_struct.SPANS")
     def f(ftype: String, value: Column, canon: Column, usage: Column = lit(null)): Column =
       when(value.isNotNull, struct(lit(ftype).as("ftype"), value.as("desc"),
         coalesce(canon.cast("string"), lower(value)).as("canon"), usage.as("usage")))
@@ -270,19 +270,39 @@ object Assemble {
         Some(denseIds(assignments.select(col("entity_id").as("entity_key")), "entity_key"))
       else None
 
+    // the export-shaped RECORD struct is built HERE, in the single
+    // checkpoint-write pass — the ERRULE case-when tree and the span
+    // sort run once per doc at materialization instead of inside the
+    // downstream aggregation's read, and consumers that don't touch
+    // RECORDS (entries, the related-entities summary) prune the fat
+    // struct column at the parquet/block scan
+    val seedKey = coalesce(
+      when(col("doc_id") === col("entity_id"), lit("")), col("match_key"), lit(""))
     val docs = features
       .join(docsWithSpans.select("doc_id", "spans"), "doc_id")
       .join(assignments, "doc_id")
       .join(matchInfo, Seq("doc_id"), "left")
-      .withColumn("spans_sorted", array_sort(col("spans"),
-        (l, r) => when(l.getField("offset") < r.getField("offset"), -1)
-          .when(l.getField("offset") > r.getField("offset"), 1).otherwise(0)))
+      .withColumn("record_struct", struct(
+        col("doc_id").as("DOC_ID"),
+        col("data_source").as("DATA_SOURCE"),
+        col("record_id").as("RECORD_ID"),
+        seedKey.as("MATCH_KEY"),
+        when(col("doc_id") === col("entity_id"), lit(""))
+          .otherwise(lit("RESOLVED")).as("MATCH_LEVEL_CODE"),
+        when(seedKey === "", lit(""))
+          .otherwise(ErRule.code(seedKey, lit("RESOLVED"),
+            col("name_lvl"), col("ssn_short"), col("nid_close"))).as("ERRULE_CODE"),
+        array_sort(col("spans"),
+          (l, r) => when(l.getField("offset") < r.getField("offset"), -1)
+            .when(l.getField("offset") > r.getField("offset"), 1).otherwise(0))
+          .as("SPANS")))
       // spans are the fattest bytes in this frame and the checkpoint
-      // fans into 4 scans — carry the sorted copy ONLY (raw order is
-      // recoverable from offsets; nothing downstream reads it)
+      // fans into 3 scans — carry the one sorted copy inside the
+      // RECORD struct ONLY (raw order is recoverable from offsets;
+      // nothing downstream reads it)
       .drop("spans")
       .transform(d => graft.util.Confs.withJobDesc(d.sparkSession)("assemble_docs")(
-        d.localCheckpoint(true))) // fanned into 4 aggregations below
+        d.localCheckpoint(true))) // fanned into 3 aggregations below
 
     // ---- FEATURES: variant groups per (entity, ftype, canon, usage) ----
     val baseEntries = docs
@@ -355,22 +375,28 @@ object Assemble {
         col("doc_id"))).as("ENTITY_NAME"))
 
     // ---- RECORDS + RECORD_SUMMARY ----
-    val seedKey = coalesce(
-      when(col("doc_id") === col("entity_id"), lit("")), col("match_key"), lit(""))
+    // one aggregation over the pre-built structs; RECORD_SUMMARY is a
+    // PROJECTION of the collected RECORDS (per-entity arrays are small
+    // — group sizes are bounded by the blocking caps), replacing the
+    // former second groupBy + join on the base path: one fewer
+    // shuffle, one fewer scan of the fat docs checkpoint
     val recordsAgg = docs.groupBy("entity_id").agg(
-      array_sort(collect_list(struct(
-        col("doc_id").as("DOC_ID"),
-        col("data_source").as("DATA_SOURCE"),
-        col("record_id").as("RECORD_ID"),
-        seedKey.as("MATCH_KEY"),
-        when(col("doc_id") === col("entity_id"), lit(""))
-          .otherwise(lit("RESOLVED")).as("MATCH_LEVEL_CODE"),
-        when(seedKey === "", lit(""))
-          .otherwise(ErRule.code(seedKey, lit("RESOLVED"),
-            col("name_lvl"), col("ssn_short"), col("nid_close"))).as("ERRULE_CODE"),
-        col("spans_sorted").as("SPANS")))).as("RECORDS"),
+      array_sort(collect_list(col("record_struct"))).as("RECORDS"),
       count(lit(1)).as("RECORD_COUNT"))
+    def summaryOfRecords(records: Column): Column =
+      array_sort(transform(
+        array_distinct(transform(records, r => r.getField("DATA_SOURCE"))),
+        ds => struct(
+          ds.as("DATA_SOURCE"),
+          size(filter(records, r => r.getField("DATA_SOURCE") === ds))
+            .cast("long").as("RECORD_COUNT"))))
+    val recordsWithSummary = recordsAgg
+      .withColumn("RECORD_SUMMARY", summaryOfRecords(col("RECORDS")))
 
+    // narrow twin of RECORD_SUMMARY for the related-entities
+    // enrichment join (otherCore): aggregated from two pruned columns
+    // of the checkpoint rather than re-running the fat RECORDS
+    // aggregation a second time
     val summary = docs.groupBy("entity_id", "data_source")
       .agg(count(lit(1)).as("RECORD_COUNT"))
       .groupBy("entity_id")
@@ -456,10 +482,9 @@ object Assemble {
         col("other_name").as("ENTITY_NAME"),
         col("other_summary").as("RECORD_SUMMARY")))).as("RELATED_ENTITIES"))
 
-    val base = recordsAgg
+    val base = recordsWithSummary
       .join(entityName, Seq("entity_id"), "left")
       .join(featMap, Seq("entity_id"), "left")
-      .join(summary, Seq("entity_id"), "left")
       .join(related, Seq("entity_id"), "left")
       .withColumn("RELATED_ENTITIES", coalesce(col("RELATED_ENTITIES"),
         array().cast(
