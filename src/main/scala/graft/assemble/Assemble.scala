@@ -301,8 +301,28 @@ object Assemble {
       // RECORD struct ONLY (raw order is recoverable from offsets;
       // nothing downstream reads it)
       .drop("spans")
-      .transform(d => graft.util.Confs.withJobDesc(d.sparkSession)("assemble_docs")(
-        d.localCheckpoint(true))) // fanned into 3 aggregations below
+      // lay the checkpoint out hash(entity_id) — every downstream
+      // aggregation and join in this assembly keys on entity_id (or an
+      // entity_id-prefixed tuple, which hash(entity_id) also satisfies)
+      // and localCheckpoint preserves outputPartitioning, so RECORDS,
+      // RECORD_SUMMARY and the final entity joins all run exchange-free
+      // off this one shuffle. Explicit partition count: a user-numbered
+      // repartition is exempt from AQE coalescing, so the downstream
+      // aggs keep full width instead of whatever advisory size the
+      // checkpoint bytes suggest
+      .transform(d => d.repartition(
+        d.sparkSession.sessionState.conf.numShufflePartitions, col("entity_id")))
+      // AQE scoped OFF for the materialization only: localCheckpoint
+      // captures the physical plan's outputPartitioning into the
+      // LogicalRDD, and AdaptiveSparkPlanExec reports Unknown — with
+      // AQE on, the hash(entity_id) layout would be invisible and every
+      // downstream agg would re-shuffle (verified: tools/
+      // CheckpointPartitioning). The joins feeding this frame are
+      // uniform doc_id-keyed; skipping AQE here costs nothing
+      .transform(d => graft.util.Confs.withConfs(d.sparkSession)(
+        "spark.sql.adaptive.enabled" -> "false")(
+        graft.util.Confs.withJobDesc(d.sparkSession)("assemble_docs")(
+          d.localCheckpoint(true)))) // fanned into 3 aggregations below
 
     // ---- FEATURES: variant groups per (entity, ftype, canon, usage) ----
     val baseEntries = docs
@@ -316,9 +336,19 @@ object Assemble {
     // materialized: feeds three aggregations (FEATURES, ENTITY_NAME, lib
     // ids) — also sidesteps an AQE attribute-resolution bug when the
     // Generate(explode) branch is reused across them
-    val entries = ambEntries.fold(baseEntries)(baseEntries.unionByName(_))
-      .transform(d => graft.util.Confs.withJobDesc(d.sparkSession)("assemble_entries")(
-        d.localCheckpoint(true)))
+    // the union with the (doc_id-partitioned) ambiguous branch drops the
+    // hash(entity_id) layout inherited from the docs checkpoint — restore
+    // it (only then: without the union baseEntries inherits it narrowly)
+    // so the whole perDesc → groups → featMap → ENTITY_NAME rollup chain
+    // (every grouping is entity_id-prefixed) aggregates without exchanges
+    val entries = ambEntries.fold(baseEntries)(amb =>
+        baseEntries.unionByName(amb).transform(d => d.repartition(
+          d.sparkSession.sessionState.conf.numShufflePartitions, col("entity_id"))))
+      // AQE off for the same partitioning-capture reason as assemble_docs
+      .transform(d => graft.util.Confs.withConfs(d.sparkSession)(
+        "spark.sql.adaptive.enabled" -> "false")(
+        graft.util.Confs.withJobDesc(d.sparkSession)("assemble_entries")(
+          d.localCheckpoint(true))))
 
     val perDesc = entries
       .groupBy("entity_id", "ftype", "canon", "usage", "desc")
@@ -363,16 +393,28 @@ object Assemble {
     // surname in one tie and the more-common given-name spelling in
     // another) — the pick is GNR-internal; latest is the best simple
     // fit at 71/74. ----
+    // two chained aggregations, NOT candidates⋈freq + one aggregation:
+    // within one nnorm group freq is constant, so the global
+    // lexicographic max over (freq, alpha-len, -punct, doc_id) equals
+    // the max over per-group maxes of (alpha-len, -punct, doc_id) —
+    // same pick, one fewer scan, and (unlike the join, which demands
+    // all-key co-partitioning) both groupBys are entity_id-prefixed so
+    // they run exchange-free off the entries checkpoint's layout
     val nameCand = entries.filter(col("ftype") === "NAME")
       .withColumn("nnorm", regexp_replace(lower(col("desc")), "[^a-z ]", ""))
-    val nameFreq = nameCand.groupBy("entity_id", "nnorm").agg(count(lit(1)).as("freq"))
-    val entityName = nameCand.join(nameFreq, Seq("entity_id", "nnorm"))
+    val nameAlpha = length(regexp_replace(lower(col("desc")), "[^a-z]", ""))
+    val namePunct = -length(regexp_replace(col("desc"), "[a-zA-Z ]", ""))
+    val perNorm = nameCand.groupBy("entity_id", "nnorm").agg(
+      count(lit(1)).as("freq"),
+      max_by(
+        struct(nameAlpha.as("alen"), namePunct.as("npunct"),
+          col("doc_id").as("doc_id"), col("desc").as("desc")),
+        struct(nameAlpha, namePunct, col("doc_id"))).as("best"))
+    val entityName = perNorm
       .groupBy("entity_id")
-      .agg(max_by(col("desc"), struct(
-        col("freq"),
-        length(regexp_replace(lower(col("desc")), "[^a-z]", "")),
-        -length(regexp_replace(col("desc"), "[a-zA-Z ]", "")),
-        col("doc_id"))).as("ENTITY_NAME"))
+      .agg(max_by(col("best.desc"), struct(
+        col("freq"), col("best.alen"), col("best.npunct"), col("best.doc_id")))
+        .as("ENTITY_NAME"))
 
     // ---- RECORDS + RECORD_SUMMARY ----
     // one aggregation over the pre-built structs; RECORD_SUMMARY is a
@@ -452,11 +494,18 @@ object Assemble {
         when(col("nrank") === 3, "POSSIBLY_SAME").otherwise("POSSIBLY_RELATED")
           .as("level"),
         col("amb"))
+    // both orientations from ONE pass over crossEdges: a unionAll of two
+    // selects re-executes the whole (edges ⋈ assignments ⋈ assignments →
+    // groupBy) subtree twice; exploding a 2-element array is narrow
     val relatedBoth = crossEdges
-      .select(col("entity_a").as("entity_id"), col("entity_b").as("other"),
-        col("match_key"), col("level"), col("amb"))
-      .unionAll(crossEdges.select(col("entity_b").as("entity_id"),
-        col("entity_a").as("other"), col("match_key"), col("level"), col("amb")))
+      .select(explode(array(
+        struct(col("entity_a").as("entity_id"), col("entity_b").as("other"),
+          col("match_key"), col("level"), col("amb")),
+        struct(col("entity_b").as("entity_id"), col("entity_a").as("other"),
+          col("match_key"), col("level"), col("amb")))).as("r"))
+      .select(col("r.entity_id").as("entity_id"), col("r.other").as("other"),
+        col("r.match_key").as("match_key"), col("r.level").as("level"),
+        col("r.amb").as("amb"))
     val otherCore = entityName
       .join(summary, Seq("entity_id"), "left")
       .join(entityIds.fold(

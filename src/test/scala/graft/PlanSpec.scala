@@ -59,6 +59,30 @@ class PlanSpec extends AnyFunSuite {
       plan.linesIterator.filter(_.contains("SinglePartition")).mkString("\n"))
   }
 
+  test("assembly rollups reuse the checkpoint's hash(entity_id) layout — no entity-keyed exchanges") {
+    import graft.jobs.ResolveJob
+    import graft.sources.DocCorpus
+    val docs = DocCorpus.synthetic(spark, 300).toDF()
+    val cfg = ResolveJob.Config(numberEntities = false)
+    val result = ResolveJob.run(spark, docs, cfg)
+    result.entities.write.mode("overwrite").format("noop").save()
+    val plan = result.entities.queryExecution.executedPlan.toString
+    // the docs/entries checkpoints are laid out hash(entity_id) with AQE
+    // scoped off at materialization, so EVERY entity_id-prefixed groupBy
+    // and every entity_id equi-join downstream must reuse that layout;
+    // the only shuffles left are the related-entities band (doc-pair and
+    // (entity_a, entity_b) keys) and its final per-entity fold
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val entityKeyed = exchanges.count(_ == "entity_id")
+    assert(entityKeyed <= 1, // the related-band groupBy(entity_id) fold
+      s"entity_id-keyed exchanges regressed ($entityKeyed): " +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(exchanges.size <= 8,
+      s"assembly exchange count regressed (${exchanges.size}): " +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("generic flags are joins against the hot frame — no driver-collected literal sets") {
     import graft.normalize.Normalize
     import graft.score.Generic
