@@ -309,17 +309,20 @@ object Bench {
 
     // --- two-parallelism ER scaling run (N=1, 4N=4 cores; identical
     // job config at both levels; fresh JVM per level — see object doc).
-    // MEDIAN of SPARK_GRAFT_SCALE_RUNS (default 1 — one ~20-min pair
-    // fits the driver's bench window; medians over more pairs are
-    // opt-in via env for BASELINE.md runs) interleaved (4,1) pairs:
-    // this box's run-to-run noise on IDENTICAL code measured a 48% t4
-    // band (140.1-207.8 s) and 0.526-0.776 efficiency across five r4
-    // pairs — a single sample is a coin flip, the median is a
-    // statistic. Pairs are interleaved (not 3×t4 then 3×t1) so slow
-    // box drift hits both levels alike. Pairs that would exceed the
-    // wall-clock budget are skipped and counted in the JSON.
+    // MEDIAN of up to SPARK_GRAFT_SCALE_RUNS (default 3) interleaved
+    // (4,1) pairs, where the wall-clock budget decides how many
+    // actually run: this box's run-to-run noise on IDENTICAL code
+    // measured a 48% t4 band (140.1-207.8 s) and 0.526-0.776
+    // efficiency across five r4 pairs — a single sample is a coin
+    // flip (a default-env rehearsal measured 0.544 on a HEAD whose
+    // three-pair median is 0.704), the median is a statistic. Pairs
+    // are interleaved (not 3×t4 then 3×t1) so slow box drift hits
+    // both levels alike. Pairs whose projected cost exceeds the
+    // budget are skipped and counted in the JSON — requesting 3 with
+    // the default 2100 s budget typically completes 2 on this box
+    // (~13 min/pair after a ~2-4 min suite), never times out.
     if (!skipScaling) {
-      val scaleRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "1").toInt)
+      val scaleRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt)
       // budget check uses the observed cost of completed pairs (first
       // pair always runs: a bench with zero scaling samples can't
       // evidence the north rule's criterion at all)
@@ -336,8 +339,21 @@ object Bench {
         }
       }
       val done = pairs.size
+      // proper medians per scalar (even counts average the middle two —
+      // picking pairs(done/2) on two samples would report the BETTER of
+      // the two efficiencies, which flatters); docs and f1 are
+      // pair-invariant by the require above
+      def med(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
       val effs = pairs.map(_._5).sorted
-      val (nDocsN, tN, t4N, f1N, eff) = pairs.sortBy(_._5).apply(done / 2)
+      val nDocsN = pairs.head._1
+      val f1N = pairs.head._4
+      val tN = med(pairs.map(_._2))
+      val t4N = med(pairs.map(_._3))
+      val eff = med(pairs.map(_._5))
       val thrN = nDocsN / tN
       val thr4N = nDocsN / t4N
       val effList = effs.map(e => f"$e%.3f").mkString("[", ",", "]")

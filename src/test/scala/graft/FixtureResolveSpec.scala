@@ -223,4 +223,50 @@ class FixtureResolveSpec extends AnyFunSuite {
     assert(!good.head.spans.exists(_.kind == "photo"))
     assert(DocCorpus.quarantineFromFlatJsonl(spark, tmp.toString).count() == 1)
   }
+
+  test("ENTITY_NAME two-stage rollup ≡ frequency-join formulation (randomized)") {
+    // pins the commutation argument behind the round-5 rewrite: within
+    // one normalized-name group the frequency is constant, so
+    // max-by(freq, alpha-len, -punct, doc_id) over all candidates
+    // equals the max over per-group maxes of (alpha-len, -punct,
+    // doc_id). One name per doc_id keeps the full key tuple tie-free,
+    // so both formulations are deterministic and comparable
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val pool = Seq("anna maria", "ANNA-MARIA", "Anna Maria Aguilar",
+      "mark miller", "M. Miller!", "Daniella SHAW", "daniella shaw",
+      "Rob Smith", "robbie smith", "R. Smith Jr.")
+    val rows = (1 to 800).flatMap { e =>
+      (1 to (1 + rnd.nextInt(5))).map { d =>
+        val extra = if (rnd.nextBoolean()) "" else " " + ('a' + rnd.nextInt(26)).toChar
+        (f"e$e%05d", f"e$e%05d:d$d%02d", pool(rnd.nextInt(pool.size)) + extra)
+      }
+    }
+    val cand = rows.toDF("entity_id", "doc_id", "desc")
+      .withColumn("nnorm", regexp_replace(lower(col("desc")), "[^a-z ]", ""))
+    val alpha = length(regexp_replace(lower(col("desc")), "[^a-z]", ""))
+    val punct = -length(regexp_replace(col("desc"), "[a-zA-Z ]", ""))
+    // (a) the pre-round-5 formulation: frequency join + one aggregation
+    val freq = cand.groupBy("entity_id", "nnorm").agg(count(lit(1)).as("freq"))
+    val joined = cand.join(freq, Seq("entity_id", "nnorm"))
+      .groupBy("entity_id")
+      .agg(max_by(col("desc"), struct(col("freq"), alpha, punct, col("doc_id")))
+        .as("name"))
+    // (b) the shipped formulation: two chained aggregations
+    val perNorm = cand.groupBy("entity_id", "nnorm").agg(
+      count(lit(1)).as("freq"),
+      max_by(struct(alpha.as("alen"), punct.as("npunct"),
+        col("doc_id").as("doc_id"), col("desc").as("desc")),
+        struct(alpha, punct, col("doc_id"))).as("best"))
+    val chained = perNorm.groupBy("entity_id")
+      .agg(max_by(col("best.desc"), struct(
+        col("freq"), col("best.alen"), col("best.npunct"), col("best.doc_id")))
+        .as("name"))
+    val a = joined.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = chained.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a.size == 800 && a == b,
+      (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k)).take(5)
+        .map(k => s"$k: join=${a.get(k)} chained=${b.get(k)}").mkString("; "))
+  }
 }
