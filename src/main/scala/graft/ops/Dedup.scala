@@ -265,15 +265,30 @@ object Dedup {
     // empty sets are excluded up front: explode() never surfaces them
     // in the prefix join, so the legacy contract emits no pair for
     // them — the collapse must not invent J=1 empty-set cliques
+    // materialized: `sigged` feeds the group rollup AND the doc→rep
+    // join, `docToRep` fans into 3+ consumers (member expansion both
+    // sides, the intra cliques, the groups closure), and `withSets`
+    // fans into the token explode, the size lookup and BOTH sides of
+    // the verify join — without these cuts every consumer re-executes
+    // the wordShingles subtree (a full scan + per-token md5 over the
+    // corpus text: ~6 executions observed in the executed plan). At
+    // 100 TB that is six scans of the text table for one query.
+    // Checkpoint the NARROW frames only — sigged is (ids, 128-bit
+    // sig), withSets is shingles for the collapsed reps — the full
+    // per-doc shingle frame `all` stays lazy (computed exactly twice:
+    // once into sigged, once into withSets).
     val sigged = all.filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("lang"), col("len_bucket"),
         md5(concat_ws("\n", array_sort(col("shingles")))).as("sig"))
+      .localCheckpoint(true)
     val grp = sigged.groupBy("lang", "len_bucket", "sig")
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"))
     val docToRep = sigged.join(grp, Seq("lang", "len_bucket", "sig"))
       .select("doc_id", "rep_id", "grp_n")
+      .localCheckpoint(true)
     val withSets = all.join(
       grp.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
 
     val toks = withSets.select(col("doc_id"), col("lang"), col("len_bucket"),
       size(col("shingles")).as("sz"), explode(col("shingles")).as("t"))
