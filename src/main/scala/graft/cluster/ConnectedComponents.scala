@@ -253,9 +253,15 @@ object ConnectedComponents {
 
     // At the fixpoint every edge is (node → component-min).
     val roots = e.select(col("dst").as("doc_id"), col("dst").as("entity_id")).distinct()
+    // materialized: every caller fans this out (assign's singleton
+    // anti-join + the union, the dedup closure's member labeling) and
+    // a lazy result re-runs BOTH distincts per consumer — observed as
+    // 4+ extra doc_id shuffles in the dd_dedup_groups plan. Narrow
+    // 2-column frame, one extra job, re-scans free after it.
     val assignments = e.select(col("src").as("doc_id"), col("dst").as("entity_id"))
       .unionAll(roots)
       .distinct()
+      .localCheckpoint(true)
     (assignments, Stats(iter, edgeCounts.toSeq))
   }
 

@@ -659,17 +659,24 @@ object Dedup {
     // member label = its rep's component min (reps without any rep-level
     // edge keep themselves — rep IS the group min); docs with empty
     // shingle sets never entered docToRep and stay singletons.
+    // materialized: `labeled` feeds both the union AND the singleton
+    // anti-join; `g` feeds both the size rollup and the final join —
+    // lazy, each consumer re-ran the rep-labeling join (and through
+    // it the CC output) once more. Both frames are narrow 2-column
+    // maps over |docs| rows.
     val labeled = r.docToRep
       .select(col("doc_id"), pad(col("rep_id")).as("rep"))
       .join(repAssign.select(col("doc_id").as("rep"), col("entity_id")),
         Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("entity_id"), col("rep")).as("glabel"))
+      .localCheckpoint(true)
     val singletons = docs.select(col("doc_id"))
       .join(labeled.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), pad(col("doc_id")).as("glabel"))
     val g = labeled.unionByName(singletons)
       .select(col("doc_id").cast("long").as("doc_id"),
         col("glabel").cast("long").as("group_id"))
+      .localCheckpoint(true)
     val sizes = g.groupBy("group_id").agg(count(lit(1)).as("group_size"))
     (g.join(sizes, "group_id")
       .select(col("doc_id"), col("group_id"), col("group_size"),
