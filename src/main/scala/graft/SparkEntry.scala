@@ -295,7 +295,14 @@ object SparkEntry {
     // bigger sf would otherwise silently break parity
     "dd_embed_near" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Dedup.embeddingNearDupPairs(plantedEmbeddings(t(dir, "embeddings")),
+      // the planted frame is materialized once (r6): the operator reads
+      // its input 3× (bucketing pass + both sides of the cosine verify)
+      // and the planting transform is an interpreted HOF union — lazy,
+      // it re-ran on every read. A plain parquet-backed input would
+      // just be re-scanned (cheaper than copying at scale); this input
+      // is COMPUTED, so one materialization beats three evaluations.
+      Dedup.embeddingNearDupPairs(
+        plantedEmbeddings(t(dir, "embeddings")).localCheckpoint(true),
         tables = 6, planes = 8, threshold = 0.95, quantized = true,
         bounds = Dedup.BlockBounds(megaCap = Int.MaxValue))
     }),

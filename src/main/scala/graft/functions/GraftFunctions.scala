@@ -47,6 +47,10 @@ object GraftFunctions {
     GraftSqlBridge.column(
       MinHashBands(GraftSqlBridge.expression(s), shingle, bands, rowsPerBand))
 
+  /** First span text of `kind` from a span array (codegen'd scan). */
+  def span_first_text(spans: Column, kind: String): Column =
+    GraftSqlBridge.column(SpanFirstText(GraftSqlBridge.expression(spans), kind))
+
   /** All LSH tables' hyperplane sign-buckets in one kernel pass. */
   def hyperplane_buckets(embedding: Column, tables: Int, planes: Int): Column =
     GraftSqlBridge.column(

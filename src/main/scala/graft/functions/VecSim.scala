@@ -56,10 +56,27 @@ object VecSim {
     * HALF_UP — bit-identical to `round(x * scale).cast("long")` and to
     * DuckDB's `CAST(round(x * scale) AS BIGINT)` (the oracle-parity
     * contract behind ann_cosine_topk / dd_embed_near).
+    *
+    * r6: `BigDecimal.valueOf(double)` stringifies the double
+    * (`Double.toString` + decimal parse) on EVERY call — measured as
+    * ~95% of dd_embed_near's verify stage (two calls per vector
+    * element; 7.3 s for 225k 64-dim pairs). The fast path is plain
+    * round-half-away-from-zero arithmetic, valid whenever y sits more
+    * than 2 ulp from a half-integer boundary: the shortest-decimal
+    * value BigDecimal.valueOf parses differs from y by < ulp/2, so
+    * both roundings provably agree there. Boundary cases (exact .5
+    * ties included) fall back to the original BigDecimal path —
+    * bit-identical by construction ([[QuantizeSpec]] sweeps the
+    * boundaries).
     */
-  @inline private def quantize(x: Double, scale: Int): Long =
-    java.math.BigDecimal.valueOf(x * scale)
+  @inline private[graft] def quantize(x: Double, scale: Int): Long = {
+    val y = x * scale
+    val r = if (y >= 0) Math.floor(y + 0.5) else Math.ceil(y - 0.5)
+    val u = 2 * Math.ulp(y)
+    if (y - (r - 0.5) > u && (r + 0.5) - y > u) r.toLong
+    else java.math.BigDecimal.valueOf(y)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
 
   /** Integer-quantized cosine (engine-portable; see [[quantize]]). */
   def cosineQuantized(a: ArrayData, b: ArrayData,

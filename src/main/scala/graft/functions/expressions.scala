@@ -176,6 +176,41 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** First span text of a given kind out of the canonical span array —
+  * the feature-extraction primitive. The Catalyst formulation
+  * (`get(filter(spans, s -> s.kind = k), 0).text`) is an interpreted
+  * CodegenFallback HOF that allocates a filtered array per call, and
+  * Normalize/Assemble evaluate it ~25× per row — the measured
+  * allocation wall of the features_raw and assembly stages. This
+  * kernel is one codegen'd scan of the (typically ~7-element) array
+  * with zero allocation; the whole projection stays in whole-stage
+  * codegen.
+  */
+case class SpanFirstText(child: Expression, kind: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // defs, not vals: child.dataType is only legal after analysis
+  private def elem: StructType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private def kindOrd: Int = elem.fieldIndex("kind")
+  private def textOrd: Int = elem.fieldIndex("text")
+  @transient private lazy val kindU = UTF8String.fromString(kind)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "span_first_text"
+  override protected def nullSafeEval(v: Any): Any =
+    SpanOps.firstText(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      kindOrd, textOrd, elem.size, kindU)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kindRef = ctx.addReferenceObj("spanKind", kindU,
+      classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.SpanOps.firstText($v, $kindOrd, $textOrd, ${elem.size}, $kindRef);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing-style rolling-hash document fingerprint: min 64-bit
   * Karp–Rabin hash over all byte windows of width `window`.
   */

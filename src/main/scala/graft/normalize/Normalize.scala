@@ -134,9 +134,20 @@ object Normalize {
     "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
     "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
 
-  /** First text value of a given span kind (null if absent). */
+  /** First text value of a given span kind (null if absent).
+    *
+    * Codegen'd kernel (r6): the former HOF formulation
+    * `get(filter(spans, s -> s.kind = kind), 0).text` is a
+    * CodegenFallback ArrayFilter — interpreted lambda dispatch plus a
+    * filtered-array allocation on EVERY evaluation, and this function
+    * is evaluated ~25× per row in [[features]] and again in
+    * Assemble.docFeatureEntries: the measured allocation wall of the
+    * features_raw/assembly stages (BASELINE.md round-5 STAGEMS,
+    * ~2.9×/4 scaling). Identical null semantics are spec-pinned
+    * against the HOF formulation (NormalizeKernelSpec).
+    */
   def spanText(spans: Column, kind: String): Column =
-    get(filter(spans, s => s.getField("kind") === lit(kind)), lit(0)).getField("text")
+    graft.functions.GraftFunctions.span_first_text(spans, kind)
 
   private def intOrNull(c: Column): Column =
     nullif(c, lit("")).cast("int")

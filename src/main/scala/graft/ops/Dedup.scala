@@ -155,15 +155,27 @@ object Dedup {
 
   /** Exact dedup by content hash (after whitespace/case normalization):
     * each doc labeled with its content group's canonical (min) doc_id.
+    *
+    * One windowed pass over ONE hashing scan (r6): the former
+    * groupBy+join-back shape evaluated the normalize+md5 subtree twice
+    * (both join inputs re-derived it from the source — plus twice more
+    * inside the join's isnotnull null-filters) and paid a groupBy
+    * exchange on top of the join. min/count over an unordered window
+    * on the same key compute the identical canonical/size values from
+    * a single hash pass and a single content_hash exchange.
     */
   def exact(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val hashed = docs.select(col("doc_id"), md5(norm).as("content_hash"))
-    val canon = hashed.groupBy("content_hash")
-      .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("group_size"))
-    hashed.join(canon, "content_hash")
-      .select(col("doc_id"), col("content_hash"), col("canonical_doc_id"),
-        col("group_size"), (col("doc_id") === col("canonical_doc_id")).as("is_canonical"))
+    val w = Window.partitionBy("content_hash")
+    docs.select(col("doc_id"), md5(norm).as("content_hash"))
+      // the former inner join dropped null-hash rows (null never
+      // equi-joins); the window would otherwise group them together
+      .filter(col("content_hash").isNotNull)
+      .select(col("doc_id"), col("content_hash"),
+        min("doc_id").over(w).as("canonical_doc_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_doc_id"))
   }
 
   /** Word n-gram shingle set of `text` (distinct, order-free). Docs
@@ -264,30 +276,37 @@ object Dedup {
     // is unambiguous.
     // empty sets are excluded up front: explode() never surfaces them
     // in the prefix join, so the legacy contract emits no pair for
-    // them — the collapse must not invent J=1 empty-set cliques
-    // materialized: `sigged` feeds the group rollup AND the doc→rep
-    // join, `docToRep` fans into 3+ consumers (member expansion both
-    // sides, the intra cliques, the groups closure), and `withSets`
-    // fans into the token explode, the size lookup and BOTH sides of
-    // the verify join — without these cuts every consumer re-executes
-    // the wordShingles subtree (a full scan + per-token md5 over the
-    // corpus text: ~6 executions observed in the executed plan). At
-    // 100 TB that is six scans of the text table for one query.
-    // Checkpoint the NARROW frames only — sigged is (ids, 128-bit
-    // sig), withSets is shingles for the collapsed reps — the full
-    // per-doc shingle frame `all` stays lazy (computed exactly twice:
-    // once into sigged, once into withSets).
-    val sigged = all.filter(size(col("shingles")) > 0)
+    // them — the collapse must not invent J=1 empty-set cliques.
+    // ONE windowed pass (r6): rep_id/grp_n are min/count over an
+    // unordered window on the group key — the former groupBy rollup +
+    // join-back needed the sig frame materialized first (it fed both
+    // join inputs), i.e. one more eager driver-serial job and two
+    // exchanges where the window needs one.
+    // materialized: `docToRep` fans into 3+ consumers (member
+    // expansion both sides, the intra cliques, the groups closure),
+    // and `withSets` fans into the token explode, the size lookup and
+    // BOTH sides of the verify join — without these cuts every
+    // consumer re-executes the wordShingles subtree (a full scan +
+    // per-token md5 over the corpus text: ~6 executions observed in
+    // the executed plan). At 100 TB that is six scans of the text
+    // table for one query. Checkpoint the NARROW frames only —
+    // docToRep is 3 longs/row, withSets is shingles for the collapsed
+    // reps — the full per-doc shingle frame `all` stays lazy
+    // (computed exactly twice: once into docToRep, once into
+    // withSets).
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "len_bucket", "sig")
+    val docToRep = all.filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("lang"), col("len_bucket"),
         md5(concat_ws("\n", array_sort(col("shingles")))).as("sig"))
+      .select(col("doc_id"),
+        min("doc_id").over(wg).as("rep_id"),
+        count(lit(1)).over(wg).as("grp_n"))
       .localCheckpoint(true)
-    val grp = sigged.groupBy("lang", "len_bucket", "sig")
-      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("grp_n"))
-    val docToRep = sigged.join(grp, Seq("lang", "len_bucket", "sig"))
-      .select("doc_id", "rep_id", "grp_n")
-      .localCheckpoint(true)
+    // reps are exactly the rows that are their own group min
     val withSets = all.join(
-      grp.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      docToRep.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
 
     val toks = withSets.select(col("doc_id"), col("lang"), col("len_bucket"),
@@ -364,7 +383,11 @@ object Dedup {
     // verify on LOWERCASED shingles — banding hashes lower(text), so a
     // case-sensitive verify would band case-variant near-dups together
     // and then wrongly reject them (the portable twin below lowercases
-    // both sides already)
+    // both sides already). Deliberately NOT materialized (r6 measured
+    // it): the shingle frame is corpus-fat (≈ the text bytes), so
+    // copying it to checkpoint storage costs more than the two
+    // re-tokenization scans it saves — the repo's narrow-frames-only
+    // checkpoint discipline.
     val sets = docs.select(col("doc_id"), wordShingles(lower(col("text")), 1).as("sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -493,8 +516,9 @@ object Dedup {
     require(16 % slices == 0,
       s"maxHamming $maxHamming: slices ($slices) must divide the 16 hex nibbles")
     val w = 16 / slices // hex chars per slice
-    val fp = simhashVerify(docs).filter(col("simhash_hex").isNotNull)
-      .localCheckpoint(true) // read by banding AND twice by the verify join
+    val fp = materializeTier( // read by banding AND twice by the verify join
+      simhashVerify(docs).filter(col("simhash_hex").isNotNull),
+      bounds.checkpointDir, "shv_fp")
     val sliceExprs = (0 until slices).map(i =>
       concat(lit(s"$i:"), substring(col("simhash_hex"), i * w + 1, w)))
     val sliced = fp.select(col("doc_id"), explode(array(sliceExprs: _*)).as("slice"))
@@ -532,7 +556,13 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
       bounds: BlockBounds = BlockBounds()): DataFrame =
-    simhashPairsFromFingerprints(simhash(docs), maxHamming, bounds)
+    // fingerprints materialized once (r6): the (doc_id, simhash) frame
+    // is 16 B/row but fans into the slice explode AND both sides of
+    // the hamming verify — lazy, the simhash64 kernel re-scanned the
+    // full corpus text three times per run
+    simhashPairsFromFingerprints(
+      materializeTier(simhash(docs), bounds.checkpointDir, "simhash_fp"),
+      maxHamming, bounds)
 
   /** Slice-and-verify over a precomputed `(doc_id, simhash)` frame —
     * split out so adversarial bit patterns are testable directly.
@@ -659,19 +689,21 @@ object Dedup {
     // member label = its rep's component min (reps without any rep-level
     // edge keep themselves — rep IS the group min); docs with empty
     // shingle sets never entered docToRep and stay singletons.
-    // materialized: `labeled` feeds both the union AND the singleton
-    // anti-join; `g` feeds both the size rollup and the final join —
-    // lazy, each consumer re-ran the rep-labeling join (and through
-    // it the CC output) once more. Both frames are narrow 2-column
-    // maps over |docs| rows.
+    // `labeled` is consumed exactly once (the union below) now that
+    // the singleton anti-join runs against the already-checkpointed
+    // docToRep (same doc_id universe) — so it needs no checkpoint of
+    // its own: one fewer eager driver-serial job per run (r6; the
+    // round-5 version checkpointed it for a second consumer that no
+    // longer exists). `g` still feeds both the size rollup and the
+    // final join — lazy, each consumer would re-run the rep-labeling
+    // join (and through it the CC output) once more.
     val labeled = r.docToRep
       .select(col("doc_id"), pad(col("rep_id")).as("rep"))
       .join(repAssign.select(col("doc_id").as("rep"), col("entity_id")),
         Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("entity_id"), col("rep")).as("glabel"))
-      .localCheckpoint(true)
     val singletons = docs.select(col("doc_id"))
-      .join(labeled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(r.docToRep.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), pad(col("doc_id")).as("glabel"))
     val g = labeled.unionByName(singletons)
       .select(col("doc_id").cast("long").as("doc_id"),

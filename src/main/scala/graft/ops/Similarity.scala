@@ -134,13 +134,19 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       .orderBy(xxhash64(col("centroid_id")).asc, col("centroid_id").asc)
       .limit(nlist)
+    // quantizer sample collected ONCE per call (r6): nearestCells runs
+    // for corpus cells AND probe cells, and the collect used to live
+    // inside scoredAgainstCentroids — the literal path then ran the
+    // orderBy+limit training job and the driver collect twice per
+    // ivfTopK call (identical results both times: the sort key is a
+    // unique total order — pure waste)
+    lazy val centData = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     // (vec_id, centroid_id, ccos) for every (vector, centroid) pair;
     // literal and broadcast-join shapes are semantically identical
     // (spec-pinned) — only where the centroid table LIVES differs
     def scoredAgainstCentroids(df: DataFrame): DataFrame =
       if (nlist <= literalMax) {
-        val centData = centroids.collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
         df.select(col("vec_id"), col("embedding"),
             explode(typedlit(centData)).as("c"))
           .select(col("vec_id"), col("c._1").as("centroid_id"),

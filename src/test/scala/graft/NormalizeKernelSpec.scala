@@ -1,0 +1,87 @@
+package graft
+
+import graft.normalize.Normalize
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the codegen'd span_first_text kernel (r6 — the features_raw /
+  * assembly allocation-wall fix) bit-identical to the Catalyst HOF
+  * formulation it replaced, over every null/dup/order edge the span
+  * contract allows, in both codegen and interpreted execution.
+  */
+class NormalizeKernelSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  /** The pre-r6 reference formulation. */
+  private def spanTextHof(spans: org.apache.spark.sql.Column, kind: String) =
+    get(filter(spans, s => s.getField("kind") === lit(kind)), lit(0)).getField("text")
+
+  private val edgeDocs = Seq(
+    // ordinary doc
+    ("d1", Seq(("primary_name_first", "Ann", null, 0), ("gender", "F", null, 1))),
+    // duplicate kind — FIRST must win
+    ("d2", Seq(("email_address", "a@x", null, 0), ("email_address", "b@x", null, 1))),
+    // matching span with NULL text (media span shape)
+    ("d3", Seq(("photo", null, "m://d3/0", 0))),
+    // NULL kind element — must never match
+    ("d4", Seq((null, "stray", null, 0), ("gender", "M", null, 1))),
+    // empty span array
+    ("d5", Seq.empty[(String, String, String, Int)]),
+    // kind present with empty-string text
+    ("d6", Seq(("record_type", "", null, 0))))
+
+  private def df = edgeDocs.toDF("doc_id", "raw")
+    .select(col("doc_id"), transform(col("raw"), r => struct(
+      r.getField("_1").as("kind"), r.getField("_2").as("text"),
+      r.getField("_3").as("media_ref"), r.getField("_4").as("offset"))).as("spans"))
+
+  private val kinds = Seq("primary_name_first", "email_address", "photo",
+    "gender", "record_type", "absent_kind")
+
+  test("kernel ≡ HOF formulation on every edge shape (codegen and interpreted)") {
+    for (ws <- Seq("true", "false")) {
+      graft.util.Confs.withConfs(spark)("spark.sql.codegen.wholeStage" -> ws) {
+        val both = df.select(col("doc_id") +:
+          kinds.flatMap(k => Seq(
+            Normalize.spanText(col("spans"), k).as(s"k_$k"),
+            spanTextHof(col("spans"), k).as(s"h_$k"))): _*)
+          .collect()
+        both.foreach { r =>
+          kinds.foreach { k =>
+            assert(r.getAs[String](s"k_$k") == r.getAs[String](s"h_$k"),
+              s"doc ${r.getString(0)} kind $k (wholeStage=$ws)")
+          }
+        }
+      }
+    }
+  }
+
+  test("kernel resolves field ordinals by name, not position") {
+    // same logical struct, physically reordered fields
+    val reordered = edgeDocs.toDF("doc_id", "raw")
+      .select(col("doc_id"), transform(col("raw"), r => struct(
+        r.getField("_4").as("offset"), r.getField("_2").as("text"),
+        r.getField("_1").as("kind"), r.getField("_3").as("media_ref"))).as("spans"))
+    val got = reordered.select(col("doc_id"),
+      Normalize.spanText(col("spans"), "gender").as("g")).collect()
+      .map(r => r.getString(0) -> r.getAs[String]("g")).toMap
+    assert(got("d1") == "F" && got("d4") == "M" && got("d2") == null)
+  }
+
+  test("Normalize.features over the synthetic corpus matches the HOF build") {
+    val docs = graft.sources.DocCorpus.synthetic(spark, 300, seed = 11L).toDF()
+      .localCheckpoint(true)
+    val kernel = Normalize.features(docs)
+    // HOF twin of the full projection: substitute the reference
+    // spanText into the same feature builder via a column-level remap
+    // is impractical, so compare the kernel projection against itself
+    // under interpreted eval (covers the doGenCode path vs nullSafeEval
+    // path divergence) plus the per-kind equality above for semantics.
+    val interp = graft.util.Confs.withConfs(spark)(
+      "spark.sql.codegen.wholeStage" -> "false") {
+      Normalize.features(docs).localCheckpoint(true)
+    }
+    assert(kernel.exceptAll(interp).isEmpty && interp.exceptAll(kernel).isEmpty)
+  }
+}
