@@ -37,9 +37,21 @@ object SparkEntry {
 
   private def erPairs(c: DataFrame): DataFrame = {
     val b = erBlocks(c)
-    val l = b.select(col("bkey"), col("doc_id").as("doc_a"))
+    // spread the STREAM side (r6): the customer table arrives as one
+    // small parquet file → a single scan task, and without an exchange
+    // the whole block fan-out join + downstream levenshtein pipeline
+    // fused into that one task (er_match_edges measured 5.3 s wall =
+    // ~one core's worth of work while 31 cores idled). One shuffle of
+    // the 15k-row block table buys full parallelism for the ~0.9M-pair
+    // fan-out; the build side is pinned broadcast so the exchange
+    // cannot land on the hash side instead. EXPLICIT partition count:
+    // AQE sizes post-shuffle partitions from the shuffle's ~300 KB,
+    // not the ×60 fan-out behind it, and coalesced this exchange back
+    // to one partition — a user-numbered repartition is exempt.
+    val l = b.repartition(b.sparkSession.sessionState.conf.numShufflePartitions,
+      col("bkey")).select(col("bkey"), col("doc_id").as("doc_a"))
     val r = b.select(col("bkey"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("bkey")).filter(col("doc_a") < col("doc_b"))
+    l.join(broadcast(r), Seq("bkey")).filter(col("doc_a") < col("doc_b"))
   }
 
   private def erScored(c: DataFrame): DataFrame = {

@@ -171,6 +171,22 @@ object ConnectedComponents {
       (out, (row("n").asInstanceOf[Long], row("h").asInstanceOf[Long]))
     }
 
+    // The iteration-0 materialization executes the CALLER's entire
+    // edge-production pipeline (prefix-join verify, levenshtein
+    // scoring, …), so it runs under the caller's conf — with AQE ON,
+    // where runtime join re-planning is worth real seconds on those
+    // big multi-join subtrees (r6 measured dd_dedup_groups' initial
+    // checkpoint at 7–15 s inside the former AQE-off scope vs ~3 s
+    // with AQE; the loop below starts from the checkpointed narrow
+    // frame either way, so iteration results are unaffected).
+    // constraintPropagation stays OFF even here: LogicalRDD.
+    // rewriteStatsAndConstraints is super-linear over big caller
+    // plans exactly like over the iteration tree.
+    val init = graft.util.Confs.withConfs(spark)(
+      "spark.sql.constraintPropagation.enabled" -> "false") {
+      checkpoint(
+        edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct(), 0)
+    }
     // AQE is scoped OFF for the iteration loop: each iteration is ~6
     // exchanges over a frame whose keys are skew-free by construction
     // (groupBy/join on node ids with blocking-capped degree; no hot
@@ -188,8 +204,7 @@ object ConnectedComponents {
     val loop = graft.util.Confs.withConfs(spark)(
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.constraintPropagation.enabled" -> "false") {
-      var (e, fp) = checkpoint(
-        edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst")).distinct(), 0)
+      var (e, fp) = init
       // Iteration parallelism is sized from the OBSERVED edge count
       // (the first checkpoint's fingerprint), not the cluster-wide
       // shuffle width: the edge frame is a small projection of the

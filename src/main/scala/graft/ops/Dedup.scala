@@ -346,13 +346,19 @@ object Dedup {
         lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a"))
       .select("doc_a", "doc_b")
 
+    // |A∪B| = |A|+|B|−|A∩B| — exact for the distinct shingle sets, so
+    // the quotient is bit-identical while array_union's second
+    // hash-set pass per pair is dropped (r6; intersect computed once
+    // in its own projection)
     val sets = withSets.select(col("doc_id"), col("shingles"))
     val repPairs = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"))
+      .select(col("rep_a"), col("rep_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     NgramRep(docToRep, repPairs)
   }
@@ -392,9 +398,13 @@ object Dedup {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // |A∪B| = |A|+|B|−|A∩B| over distinct sets — bit-identical
+      // quotient, one set pass per pair instead of two (r6)
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -442,9 +452,13 @@ object Dedup {
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // |A∪B| = |A|+|B|−|A∩B| over distinct sets — bit-identical
+      // quotient, one set pass per pair instead of two (r6)
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
