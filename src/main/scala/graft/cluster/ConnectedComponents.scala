@@ -201,9 +201,19 @@ object ConnectedComponents {
     // disables it job-wide, but CC is also entered directly by the
     // dedup/groups path (measured there: the fused tail's bigger tree
     // took the closure from 23 s to ~50 s until this was scoped off).
+    // preferSortMergeJoin OFF for the loop (r6): each star joins the
+    // bidirected edge frame against its per-node min aggregate — both
+    // sides narrow 19-char-string rows — and the shuffled-hash join
+    // skips SMJ's two string sorts per join (measured 0.63–1.0 s vs
+    // 1.15–1.26 s per double-step on a 325k-edge clique-heavy frame,
+    // tools/StarWidthProbe). Per-partition build sides are bounded by
+    // the loop width sizing, and the planner still falls back to SMJ
+    // when its size conditions fail. Join results are
+    // strategy-invariant, so labels are unchanged.
     val loop = graft.util.Confs.withConfs(spark)(
       "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.constraintPropagation.enabled" -> "false") {
+      "spark.sql.constraintPropagation.enabled" -> "false",
+      "spark.sql.join.preferSortMergeJoin" -> "false") {
       var (e, fp) = init
       // Iteration parallelism is sized from the OBSERVED edge count
       // (the first checkpoint's fingerprint), not the cluster-wide

@@ -51,6 +51,10 @@ object GraftFunctions {
   def span_first_text(spans: Column, kind: String): Column =
     GraftSqlBridge.column(SpanFirstText(GraftSqlBridge.expression(spans), kind))
 
+  /** One-pass normalized address parse (codegen'd kernel). */
+  def parse_addr(raw: Column, stop: Seq[String]): Column =
+    GraftSqlBridge.column(ParseAddr(GraftSqlBridge.expression(raw), stop))
+
   /** All LSH tables' hyperplane sign-buckets in one kernel pass. */
   def hyperplane_buckets(embedding: Column, tables: Int, planes: Int): Column =
     GraftSqlBridge.column(

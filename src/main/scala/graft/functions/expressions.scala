@@ -211,6 +211,39 @@ case class SpanFirstText(child: Expression, kind: String)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass normalized address parse (see SpanOps.parseAddr for the
+  * exact contract) — replaces a Catalyst subtree of two regex
+  * replaces + three interpreted HOF filters with per-token rlike over
+  * a duplicated token list, measured as ~80% of the features_raw
+  * stage. Bit-identical semantics spec-pinned (NormalizeKernelSpec).
+  */
+case class ParseAddr(child: Expression, stop: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("house", StringType),
+    StructField("zip", StringType),
+    StructField("street", StringType),
+    StructField("stokens", ArrayType(StringType, containsNull = false)),
+    StructField("digits", ArrayType(StringType, containsNull = false))))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "parse_addr"
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stop.foreach(s.add)
+    s
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    SpanOps.parseAddr(v.asInstanceOf[UTF8String], stopSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopRef = ctx.addReferenceObj("addrStop", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.SpanOps.parseAddr($v, $stopRef);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing-style rolling-hash document fingerprint: min 64-bit
   * Karp–Rabin hash over all byte windows of width `window`.
   */

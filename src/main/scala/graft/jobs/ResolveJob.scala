@@ -203,10 +203,18 @@ object ResolveJob {
     }
 
     // the two intra-assembly localCheckpoints run eagerly here; the
-    // final report query stays lazy (timed by the caller's action)
+    // final report query stays lazy (timed by the caller's action).
+    // ambiguousDocs is passed ONLY when suppression actually fired
+    // (r6): a Some(empty-frame) forced Assemble's entries union +
+    // repartition — a full exchange of the exploded feature-entry
+    // frame — to merge zero rows; with None the entries checkpoint
+    // inherits the docs checkpoint's hash(entity_id) layout directly.
+    // Identical output either way (union with an empty frame).
     val entities = timed("assemble_eager") {
       Assemble.entities(feats, docsSnap, assignP, edges,
-        cfg.numberEntities, ambiguousDocs = Some(ambDocs))
+        cfg.numberEntities,
+        ambiguousDocs =
+          if (stageRows("ambiguous_docs") == 0L) None else Some(ambDocs))
     }
 
     val metrics = Map(

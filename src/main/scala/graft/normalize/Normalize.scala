@@ -231,22 +231,16 @@ object Normalize {
     * digits — every pure-digit token, distinct: unmatched numeric
     * components (unit numbers, a second conflicting postal) demote an
     * address match in the export key, see Assemble.perDocMatchInfo).
+    *
+    * Codegen'd one-pass kernel (r6): the Catalyst formulation — two
+    * regex replaces feeding THREE interpreted HOF filters with
+    * per-token rlike, over a token subtree each filter re-derived —
+    * measured as ~80% of the whole features_raw stage (5.2 s of 6.4 s
+    * on 200k docs, tools/FeatureProbe). Identical output is
+    * spec-pinned against that formulation (NormalizeKernelSpec).
     */
-  def parseAddr(raw: Column): Column = {
-    val s = trim(regexp_replace(regexp_replace(lower(raw), "[^a-z0-9 ]", " "), " +", " "))
-    val toks = filter(split(s, " "), t => t =!= "")
-    val digitToks = filter(toks, t => t.rlike("^[0-9]+$"))
-    val house = get(digitToks, lit(0))
-    val lastDigit = element_at(digitToks, -1)
-    val zip = when(size(digitToks) >= 2 && length(lastDigit) >= 5, substring(lastDigit, 1, 5))
-    val stop = typedlit(AddrStop.toSet.toSeq)
-    val stokens = array_distinct(filter(toks, t =>
-      t.rlike("^[a-z][a-z0-9]*$") && !array_contains(stop, t)))
-    when(raw.isNotNull && size(toks) > 0,
-      struct(house.as("house"), zip.as("zip"),
-        get(stokens, lit(0)).as("street"), stokens.as("stokens"),
-        array_distinct(digitToks).as("digits")))
-  }
+  def parseAddr(raw: Column): Column =
+    graft.functions.GraftFunctions.parse_addr(raw, AddrStop.toSet.toSeq)
 
   /** Strip generation suffixes (jr/sr/ii/iii/iv) from a surname. */
   private def stripGeneration(c: Column): Column = {

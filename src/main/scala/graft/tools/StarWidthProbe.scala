@@ -34,8 +34,11 @@ object StarWidthProbe {
       .repartition(32).localCheckpoint(true)
     println("edges=" + edges.count())
 
-    for (w <- Seq("8", "32", "64"); round <- 1 to 2) {
-      graft.util.Confs.withConfs(spark)("spark.sql.shuffle.partitions" -> w) {
+    for (w <- Seq("8", "16"); smj <- Seq("true", "false"); round <- 1 to 2) {
+      graft.util.Confs.withConfs(spark)("spark.sql.shuffle.partitions" -> w,
+        "spark.sql.join.preferSortMergeJoin" -> smj,
+        "spark.sql.shuffledHashJoinFactor" -> "3") {
+        print(s"smj=$smj ")
         val t0 = System.nanoTime()
         val it1 = smallStar(largeStar(edges)).localCheckpoint(true)
         val t1 = System.nanoTime()

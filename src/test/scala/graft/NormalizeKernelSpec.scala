@@ -69,6 +69,69 @@ class NormalizeKernelSpec extends AnyFunSuite {
     assert(got("d1") == "F" && got("d4") == "M" && got("d2") == null)
   }
 
+  /** The pre-r6 Catalyst reference formulation of parseAddr. */
+  private def parseAddrHof(raw: org.apache.spark.sql.Column) = {
+    val s = trim(regexp_replace(regexp_replace(lower(raw), "[^a-z0-9 ]", " "), " +", " "))
+    val toks = filter(split(s, " "), t => t =!= "")
+    val digitToks = filter(toks, t => t.rlike("^[0-9]+$"))
+    val house = get(digitToks, lit(0))
+    val lastDigit = element_at(digitToks, -1)
+    val zip = when(size(digitToks) >= 2 && length(lastDigit) >= 5, substring(lastDigit, 1, 5))
+    val stop = typedlit(Normalize.AddrStop.toSet.toSeq)
+    val stokens = array_distinct(filter(toks, t =>
+      t.rlike("^[a-z][a-z0-9]*$") && !array_contains(stop, t)))
+    when(raw.isNotNull && size(toks) > 0,
+      struct(house.as("house"), zip.as("zip"),
+        get(stokens, lit(0)).as("street"), stokens.as("stokens"),
+        array_distinct(digitToks).as("digits")))
+  }
+
+  test("parseAddr kernel ≡ Catalyst formulation on adversarial inputs") {
+    val inputs = Seq(
+      "123 Main Street, Las Vegas NV 89132",
+      "123 E Main St Henderson NV 89132",
+      "  1515   Adela---Lane  Las Vegas NV 89111  ",
+      "Apt 4B, 77 Rue de l'Église, Genève 1204", // unicode letters → blanked
+      "ÅÖÜ 42 ÊTRE 90210 straße",
+      "no digits here at all",
+      "12345",
+      "12 34",
+      "!!! ***",
+      "",
+      "   ",
+      "PO Box 1234 Phoenix AZ 85001-1234",
+      "四十二 main 12345 67890", // CJK → blanked
+      "a" + "😀" + "b 99 xyz 12345 54321", // surrogate pair
+      "UNIT 7 7 7 APARTMENT 1234567 st st st",
+      null)
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(inputs.map(Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("raw",
+          org.apache.spark.sql.types.StringType))))
+    for (ws <- Seq("true", "false")) {
+      graft.util.Confs.withConfs(spark)("spark.sql.codegen.wholeStage" -> ws) {
+        val rows = df.select(col("raw"),
+          Normalize.parseAddr(col("raw")).as("k"),
+          parseAddrHof(col("raw")).as("h")).collect()
+        rows.foreach { r =>
+          val k = r.getAs[Row]("k"); val h = r.getAs[Row]("h")
+          assert((k == null) == (h == null), s"null mismatch for '${r.get(0)}'")
+          if (k != null) {
+            assert(k.getAs[String]("house") == h.getAs[String]("house"), s"house '${r.get(0)}'")
+            assert(k.getAs[String]("zip") == h.getAs[String]("zip"), s"zip '${r.get(0)}'")
+            assert(k.getAs[String]("street") == h.getAs[String]("street"), s"street '${r.get(0)}'")
+            def seq(row: Row, f: String): List[String] =
+              row.getSeq[String](row.fieldIndex(f)).toList
+            assert(seq(k, "stokens") == seq(h, "stokens"), s"stokens '${r.get(0)}'")
+            assert(seq(k, "digits") == seq(h, "digits"), s"digits '${r.get(0)}'")
+          }
+        }
+      }
+    }
+  }
+
   test("Normalize.features over the synthetic corpus matches the HOF build") {
     val docs = graft.sources.DocCorpus.synthetic(spark, 300, seed = 11L).toDF()
       .localCheckpoint(true)
