@@ -55,6 +55,14 @@ object GraftFunctions {
   def parse_addr(raw: Column, stop: Seq[String]): Column =
     GraftSqlBridge.column(ParseAddr(GraftSqlBridge.expression(raw), stop))
 
+  /** DOB parse into struct(y,m,d) (codegen'd kernel). */
+  def parse_dob(raw: Column): Column =
+    GraftSqlBridge.column(ParseDob(GraftSqlBridge.expression(raw)))
+
+  /** Tokenwise dictionary canonicalization (codegen'd kernel). */
+  def canon_tokens(c: Column, dict: Map[String, String]): Column =
+    GraftSqlBridge.column(CanonTokens(GraftSqlBridge.expression(c), dict))
+
   /** All LSH tables' hyperplane sign-buckets in one kernel pass. */
   def hyperplane_buckets(embedding: Column, tables: Int, planes: Int): Column =
     GraftSqlBridge.column(

@@ -244,6 +244,53 @@ case class ParseAddr(child: Expression, stop: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** DOB parse into struct(y,m,d) (see SpanOps.parseDob for the exact
+  * contract) — one regex match per format per row instead of
+  * regexp_extract's one interpreted match per GROUP (13/row).
+  */
+case class ParseDob(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("y", IntegerType), StructField("m", IntegerType),
+    StructField("d", IntegerType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "parse_dob"
+  override protected def nullSafeEval(v: Any): Any =
+    SpanOps.parseDob(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.SpanOps.parseDob($v);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Tokenwise dictionary canonicalization (see SpanOps.canonTokens) —
+  * hash lookup per token instead of an interpreted linear scan of the
+  * map literal.
+  */
+case class CanonTokens(child: Expression, dict: Map[String, String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "canon_tokens"
+  @transient private lazy val dictMap: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    dict.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    SpanOps.canonTokens(v.asInstanceOf[UTF8String], dictMap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("canonDict", dictMap, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.SpanOps.canonTokens($v, $dictRef);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing-style rolling-hash document fingerprint: min 64-bit
   * Karp–Rabin hash over all byte windows of width `window`.
   */

@@ -162,11 +162,15 @@ object Normalize {
   private def alnumUpper(c: Column): Column =
     nullif(regexp_replace(upper(c), "[^A-Z0-9]", ""), lit(""))
 
-  /** Tokenwise map through a dictionary; unseen tokens pass through. */
-  private def canonTokens(c: Column, dict: Map[String, String]): Column = {
-    val m = typedlit(dict)
-    array_join(transform(split(c, " "), t => coalesce(element_at(m, t), t)), " ")
-  }
+  /** Tokenwise map through a dictionary; unseen tokens pass through.
+    * Codegen'd kernel (r6) — the Catalyst `array_join(transform(split,
+    * t -> coalesce(element_at(m, t), t)))` paid an interpreted lambda
+    * plus a linear scan of the 120-entry map literal per token;
+    * equivalence (split keeping empty segments, missing-token
+    * pass-through) is spec-pinned in NormalizeKernelSpec.
+    */
+  private def canonTokens(c: Column, dict: Map[String, String]): Column =
+    graft.functions.GraftFunctions.canon_tokens(c, dict)
 
   /** Transliterate a CJK string to space-joined pinyin; null if any
     * character is unknown (then the name is treated as not comparable,
@@ -184,8 +188,21 @@ object Normalize {
     * "MMM d yyyy", yyyy-MM-dd, and day-first D/M/yyyy when the first
     * component exceeds 12. Pure string ops (ANSI-safe; no to_date
     * exceptions on junk).
+    *
+    * Codegen'd kernel (r6): the Catalyst formulation below (kept as
+    * [[parseDobCatalyst]] — the spec's reference implementation) runs
+    * 13 interpreted regexp_extract matches per row; the kernel runs
+    * each anchored pattern at most once. Equivalence spec-pinned
+    * (NormalizeKernelSpec).
     */
-  def parseDob(raw: Column): Column = {
+  def parseDob(raw: Column): Column =
+    graft.functions.GraftFunctions.parse_dob(trim(raw))
+
+  /** Pre-r6 Catalyst formulation of [[parseDob]] — retained as the
+    * executable spec reference (NormalizeKernelSpec pins the kernel
+    * against it).
+    */
+  def parseDobCatalyst(raw: Column): Column = {
     val s = trim(raw)
     val slash = regexp_extract(s, "^(\\d{1,2})/(\\d{1,2})/(\\d{2,4})$", 0)
     val mSl = intOrNull(regexp_extract(s, "^(\\d{1,2})/(\\d{1,2})/(\\d{2,4})$", 1))

@@ -132,6 +132,56 @@ class NormalizeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("parseDob kernel ≡ Catalyst formulation on every format and junk") {
+    val inputs = Seq(
+      "3/14/1959", "03/14/59", "3/14/05", "20/8/1991", "12/12/12", "31/12/1980",
+      "1959-03-14", "1959-3-4", "0000-00-00", "2001-13-05", "2001-12-32",
+      "14-Mar-59", "14-MAR-1959", "7-jan-05", "14-Xyz-59", "99-Mar-59",
+      "Mar 14 1959", "March 14, 1959", "MAR 4, 59", "Xyzzy 4, 59",
+      "13/13/1980", "0/5/1980", "5/0/1980",
+      "", "  ", "garbage", "3/14/195", "3-14-1959", "1959/03/14",
+      " 3/14/1959 ", "3/14/19590", null)
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(inputs.map(Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("raw",
+          org.apache.spark.sql.types.StringType))))
+    for (ws <- Seq("true", "false")) {
+      graft.util.Confs.withConfs(spark)("spark.sql.codegen.wholeStage" -> ws) {
+        df.select(col("raw"), Normalize.parseDob(col("raw")).as("k"),
+          Normalize.parseDobCatalyst(col("raw")).as("h")).collect().foreach { r =>
+          assert(r.get(1) == r.get(2), s"dob mismatch for '${r.get(0)}' (ws=$ws)")
+        }
+      }
+    }
+  }
+
+  test("canonTokens kernel ≡ Catalyst formulation incl. empty segments") {
+    val dict = Normalize.Nicknames
+    def hofCanon(c: org.apache.spark.sql.Column) = {
+      val m = typedlit(dict)
+      array_join(transform(split(c, " "), t => coalesce(element_at(m, t), t)), " ")
+    }
+    val inputs = Seq("bob", "bob smith", "BOB", "bob  smith", " bob", "bob ",
+      "", "  ", "liz beth kate", "unknown tokens here", "pat", null)
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(inputs.map(Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("raw",
+          org.apache.spark.sql.types.StringType))))
+    for (ws <- Seq("true", "false")) {
+      graft.util.Confs.withConfs(spark)("spark.sql.codegen.wholeStage" -> ws) {
+        df.select(col("raw"),
+          graft.functions.GraftFunctions.canon_tokens(col("raw"), dict).as("k"),
+          hofCanon(col("raw")).as("h")).collect().foreach { r =>
+          assert(r.get(1) == r.get(2), s"canon mismatch for '${r.get(0)}' (ws=$ws)")
+        }
+      }
+    }
+  }
+
   test("Normalize.features over the synthetic corpus matches the HOF build") {
     val docs = graft.sources.DocCorpus.synthetic(spark, 300, seed = 11L).toDF()
       .localCheckpoint(true)
