@@ -254,7 +254,16 @@ object Assemble {
       edges: DataFrame,
       numberEntities: Boolean = true,
       ambiguousDocs: Option[DataFrame] = None,
-      relatedAssignments: Option[DataFrame] = None): DataFrame = {
+      relatedAssignments: Option[DataFrame] = None,
+      /** Durable parquet snapshots for the two intra-assembly
+        * materializations (docs, entries) — executor-loss survival;
+        * localCheckpoint otherwise. NOTE: a parquet round-trip does
+        * not preserve the hash(entity_id) outputPartitioning that the
+        * in-memory path exploits, so the durable path re-shuffles the
+        * downstream rollups — byte-identical output, slower
+        * (FixtureResolveSpec pins the equality).
+        */
+      checkpointDir: Option[String] = None): DataFrame = {
 
     val edgesA =
       if (edges.columns.contains("is_ambiguous")) edges
@@ -322,7 +331,8 @@ object Assemble {
       .transform(d => graft.util.Confs.withConfs(d.sparkSession)(
         "spark.sql.adaptive.enabled" -> "false")(
         graft.util.Confs.withJobDesc(d.sparkSession)("assemble_docs")(
-          d.localCheckpoint(true)))) // fanned into 3 aggregations below
+          // fanned into 3 aggregations below
+          graft.ops.Dedup.materializeTier(d, checkpointDir, "asm_docs"))))
 
     // ---- FEATURES: variant groups per (entity, ftype, canon, usage) ----
     val baseEntries = docs
@@ -348,7 +358,7 @@ object Assemble {
       .transform(d => graft.util.Confs.withConfs(d.sparkSession)(
         "spark.sql.adaptive.enabled" -> "false")(
         graft.util.Confs.withJobDesc(d.sparkSession)("assemble_entries")(
-          d.localCheckpoint(true))))
+          graft.ops.Dedup.materializeTier(d, checkpointDir, "asm_entries"))))
 
     val perDesc = entries
       .groupBy("entity_id", "ftype", "canon", "usage", "desc")

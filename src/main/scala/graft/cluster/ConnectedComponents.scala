@@ -282,11 +282,20 @@ object ConnectedComponents {
     // anti-join + the union, the dedup closure's member labeling) and
     // a lazy result re-runs BOTH distincts per consumer — observed as
     // 4+ extra doc_id shuffles in the dd_dedup_groups plan. Narrow
-    // 2-column frame, one extra job, re-scans free after it.
-    val assignments = e.select(col("src").as("doc_id"), col("dst").as("entity_id"))
+    // 2-column frame, one extra job, re-scans free after it. Durable
+    // (parquet, same convention as the iteration snapshots) when a
+    // checkpointDir is configured — an executor loss after the loop
+    // must not kill the labeling joins (r6, VERDICT ask).
+    val assignFrame = e.select(col("src").as("doc_id"), col("dst").as("entity_id"))
       .unionAll(roots)
       .distinct()
-      .localCheckpoint(true)
+    val assignments = checkpointDir match {
+      case Some(dir) =>
+        val path = s"$dir/cc_assignments"
+        assignFrame.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      case None => assignFrame.localCheckpoint(true)
+    }
     (assignments, Stats(iter, edgeCounts.toSeq))
   }
 

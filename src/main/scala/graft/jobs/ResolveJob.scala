@@ -214,7 +214,8 @@ object ResolveJob {
       Assemble.entities(feats, docsSnap, assignP, edges,
         cfg.numberEntities,
         ambiguousDocs =
-          if (stageRows("ambiguous_docs") == 0L) None else Some(ambDocs))
+          if (stageRows("ambiguous_docs") == 0L) None else Some(ambDocs),
+        checkpointDir = cfg.checkpointDir)
     }
 
     val metrics = Map(

@@ -54,7 +54,7 @@ object Dedup {
     * operator's standard checkpoint-hygiene job.
     */
   private val tierSeq = new java.util.concurrent.atomic.AtomicLong(0)
-  private def materializeTier(df: DataFrame, dir: Option[String], tag: String): DataFrame =
+  private[graft] def materializeTier(df: DataFrame, dir: Option[String], tag: String): DataFrame =
     dir match {
       case Some(d) =>
         val appId = df.sparkSession.sparkContext.applicationId
@@ -231,8 +231,9 @@ object Dedup {
       docs: DataFrame,
       n: Int = 1,
       threshold: Double = 0.6,
-      lengthBucket: Int = 100): DataFrame = {
-    val r = ngramRepPairs(docs, n, threshold, lengthBucket)
+      lengthBucket: Int = 100,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val r = ngramRepPairs(docs, n, threshold, lengthBucket, checkpointDir)
 
     // expand representative pairs back to member pairs; members of the
     // same group (identical sets, same block) are J = 1 cliques
@@ -264,7 +265,8 @@ object Dedup {
       docs: DataFrame,
       n: Int,
       threshold: Double,
-      lengthBucket: Int): NgramRep = {
+      lengthBucket: Int,
+      checkpointDir: Option[String] = None): NgramRep = {
     val all = docs.select(
       col("doc_id"), col("lang"),
       (col("n_chars") / lengthBucket).cast("int").as("len_bucket"),
@@ -296,18 +298,18 @@ object Dedup {
     // withSets).
     val wg = org.apache.spark.sql.expressions.Window
       .partitionBy("lang", "len_bucket", "sig")
-    val docToRep = all.filter(size(col("shingles")) > 0)
+    val docToRep = materializeTier(all.filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("lang"), col("len_bucket"),
         md5(concat_ws("\n", array_sort(col("shingles")))).as("sig"))
       .select(col("doc_id"),
         min("doc_id").over(wg).as("rep_id"),
-        count(lit(1)).over(wg).as("grp_n"))
-      .localCheckpoint(true)
+        count(lit(1)).over(wg).as("grp_n")),
+      checkpointDir, "ngram_doc2rep")
     // reps are exactly the rows that are their own group min
-    val withSets = all.join(
+    val withSets = materializeTier(all.join(
       docToRep.filter(col("doc_id") === col("rep_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
+      Seq("doc_id"), "left_semi"),
+      checkpointDir, "ngram_repsets")
 
     val toks = withSets.select(col("doc_id"), col("lang"), col("len_bucket"),
       size(col("shingles")).as("sz"), explode(col("shingles")).as("t"))
@@ -332,7 +334,8 @@ object Dedup {
     val cand0 = boundedSelfJoinPairs(
       prefixes.select(col("lang"), col("len_bucket"), col("t"), col("doc_id")),
       Seq("lang", "len_bucket", "t"), "doc_id",
-      BlockBounds(maxBlockSize = 64, megaCap = Int.MaxValue, salts = 8))
+      BlockBounds(maxBlockSize = 64, megaCap = Int.MaxValue, salts = 8,
+        checkpointDir = checkpointDir))
     // length filter (t·|A| ≤ |B| for |B| ≤ |A|) after the pair dedup —
     // pure prune, the exact-Jaccard verify below decides membership.
     // The ε guards the exact-integer boundary: at t=0.55, |A|=20,
@@ -664,8 +667,9 @@ object Dedup {
       docs: DataFrame,
       n: Int = 1,
       threshold: Double = 0.6,
-      lengthBucket: Int = 100): DataFrame =
-    nearDupGroupsWithStats(spark, docs, n, threshold, lengthBucket)._1
+      lengthBucket: Int = 100,
+      checkpointDir: Option[String] = None): DataFrame =
+    nearDupGroupsWithStats(spark, docs, n, threshold, lengthBucket, checkpointDir)._1
 
   /** [[nearDupGroups]] plus the closure's convergence stats — the
     * rep-graph design keeps the loop short (OpsSpec pins the iteration
@@ -676,7 +680,13 @@ object Dedup {
       docs: DataFrame,
       n: Int = 1,
       threshold: Double = 0.6,
-      lengthBucket: Int = 100): (DataFrame, graft.cluster.ConnectedComponents.Stats) = {
+      lengthBucket: Int = 100,
+      /** Durable parquet snapshots for every eager materialization in
+        * this composition (rep map, rep sets, tier frames, CC
+        * iterations + assignments, group labels) — executor-loss
+        * survival on a real cluster; localCheckpoint otherwise.
+        */
+      checkpointDir: Option[String] = None): (DataFrame, graft.cluster.ConnectedComponents.Stats) = {
     // CC labels are lexicographic-min STRINGS (collision-free at any
     // scale) — zero-pad the numeric ids so string order == numeric
     // order, cast back after. 19 digits covers every non-negative
@@ -695,11 +705,12 @@ object Dedup {
     // labels, loop input shrinks from |docs|+|repPairs| edges to
     // |repPairs| — a giant identical-boilerplate clique never enters
     // the loop at all (its members collapse to one rep upstream).
-    val r = ngramRepPairs(docs, n, threshold, lengthBucket)
+    val r = ngramRepPairs(docs, n, threshold, lengthBucket, checkpointDir)
     val repEdges = r.repPairs
       .select(pad(col("rep_a")).as("src"), pad(col("rep_b")).as("dst"))
     val (repAssign, ccStats) =
-      graft.cluster.ConnectedComponents.run(spark, repEdges)
+      graft.cluster.ConnectedComponents.run(spark, repEdges,
+        checkpointDir = checkpointDir)
     // member label = its rep's component min (reps without any rep-level
     // edge keep themselves — rep IS the group min); docs with empty
     // shingle sets never entered docToRep and stay singletons.
@@ -719,10 +730,10 @@ object Dedup {
     val singletons = docs.select(col("doc_id"))
       .join(r.docToRep.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), pad(col("doc_id")).as("glabel"))
-    val g = labeled.unionByName(singletons)
+    val g = materializeTier(labeled.unionByName(singletons)
       .select(col("doc_id").cast("long").as("doc_id"),
-        col("glabel").cast("long").as("group_id"))
-      .localCheckpoint(true)
+        col("glabel").cast("long").as("group_id")),
+      checkpointDir, "ngram_groups")
     val sizes = g.groupBy("group_id").agg(count(lit(1)).as("group_size"))
     (g.join(sizes, "group_id")
       .select(col("doc_id"), col("group_id"), col("group_size"),

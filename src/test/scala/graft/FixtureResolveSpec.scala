@@ -183,6 +183,43 @@ class FixtureResolveSpec extends AnyFunSuite {
     val appDir = java.nio.file.Paths.get(ckpt, spark.sparkContext.applicationId)
     assert(java.nio.file.Files.exists(appDir),
       s"no per-app tier snapshot dir under $ckpt")
+    // r6: EVERY eager materialization on the durable path is a parquet
+    // snapshot now — the assembly docs/entries frames and the CC
+    // assignments frame included (an executor loss mid-assembly used
+    // to kill their localCheckpoint blocks)
+    import scala.jdk.CollectionConverters._
+    val tierDirs = java.nio.file.Files.list(appDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(tierDirs.exists(_.contains("asm_docs")), s"no asm_docs snapshot in $tierDirs")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt, "cc_assignments")),
+      s"no cc_assignments snapshot under $ckpt")
+  }
+
+  test("durable path: nearDupGroups with checkpointDir is byte-identical to default") {
+    // the r6 durable threading for the dedup-groups composition: rep
+    // map, rep sets, tier frames, CC iterations + assignments and the
+    // group labels all become parquet snapshots, outputs unchanged
+    val ckpt = java.nio.file.Files.createTempDirectory("ddckpt").toString
+    val corpus = (0 until 60).map { i =>
+      val base = s"shared boilerplate tokens alpha beta gamma delta run$i"
+      (i.toLong, if (i % 3 == 0) base + " extra" else base, "en", "synth",
+        base.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint(true)
+    val dflt = graft.ops.Dedup.nearDupGroups(spark, corpus, n = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val dur = graft.ops.Dedup.nearDupGroups(spark, corpus, n = 1, threshold = 0.5,
+      checkpointDir = Some(ckpt))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(dur == dflt, "durable nearDupGroups differs from default")
+    import scala.jdk.CollectionConverters._
+    val appDir = java.nio.file.Paths.get(ckpt, spark.sparkContext.applicationId)
+    assert(java.nio.file.Files.exists(appDir), s"no tier snapshots under $ckpt")
+    val dirs = java.nio.file.Files.list(appDir).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(dirs.exists(_.contains("ngram_doc2rep")) &&
+      dirs.exists(_.contains("ngram_groups")), s"missing dedup snapshots: $dirs")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(ckpt, "cc_assignments")))
   }
 
   test("resume: committed snapshots re-read byte-identically") {
