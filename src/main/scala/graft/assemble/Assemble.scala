@@ -372,13 +372,21 @@ object Assemble {
           denseIds(perDesc.select("lib_key"), "lib_key", outCol = "lib_id"), "lib_key")
       else perDesc.withColumn("lib_id", pmod(xxhash64(col("lib_key")), lit(Long.MaxValue)))
 
+    // rep = FIRST element of the (first_doc, desc)-sorted variant list
+    // (r6): the former min_by over the same ordering key computed an
+    // identical value (within one group equal (first_doc, desc) implies
+    // equal lib_id), but a struct-buffered min_by forces the whole
+    // aggregation into SortAggregate — sort included; collect_list
+    // alone stays ObjectHashAggregate, and the sorted list was being
+    // built anyway.
     val groups = withLib
       .groupBy("entity_id", "ftype", "canon", "usage")
-      .agg(
-        min_by(struct(col("desc"), col("lib_id")), struct(col("first_doc"), col("desc")))
-          .as("rep"),
-        transform(array_sort(collect_list(
-          struct(col("first_doc"), col("desc"), col("lib_id")))),
+      .agg(array_sort(collect_list(
+        struct(col("first_doc"), col("desc"), col("lib_id")))).as("sorted"))
+      .select(col("entity_id"), col("ftype"), col("canon"), col("usage"),
+        struct(get(col("sorted"), lit(0)).getField("desc").as("desc"),
+          get(col("sorted"), lit(0)).getField("lib_id").as("lib_id")).as("rep"),
+        transform(col("sorted"),
           v => struct(v.getField("desc").as("FEAT_DESC"),
             v.getField("lib_id").as("LIB_FEAT_ID"))).as("FEAT_DESC_VALUES"))
     val featMap = groups
@@ -516,18 +524,21 @@ object Assemble {
       .select(col("r.entity_id").as("entity_id"), col("r.other").as("other"),
         col("r.match_key").as("match_key"), col("r.level").as("level"),
         col("r.amb").as("amb"))
+    // SHUFFLE_HASH hints: same sort-skipping rationale as the final
+    // entity joins below — these narrow maps hash-build cheaply
     val otherCore = entityName
-      .join(summary, Seq("entity_id"), "left")
+      .join(summary.hint("SHUFFLE_HASH"), Seq("entity_id"), "left")
       .join(entityIds.fold(
         entityName.select(col("entity_id"),
           pmod(xxhash64(col("entity_id")), lit(Long.MaxValue)).as("other_eid")))(ids =>
-        ids.select(col("entity_key").as("entity_id"), col("ENTITY_ID").as("other_eid"))),
+        ids.select(col("entity_key").as("entity_id"), col("ENTITY_ID").as("other_eid")))
+        .hint("SHUFFLE_HASH"),
         Seq("entity_id"), "left")
       .select(col("entity_id").as("other"), col("other_eid"),
         col("ENTITY_NAME").as("other_name"),
         col("RECORD_SUMMARY").as("other_summary"))
     val related = relatedBoth
-      .join(otherCore, Seq("other"), "left")
+      .join(otherCore.hint("SHUFFLE_HASH"), Seq("other"), "left")
       .groupBy("entity_id")
       .agg(array_sort(collect_list(struct(
         col("other").as("RELATED_ENTITY_KEY"),
@@ -541,10 +552,18 @@ object Assemble {
         col("other_name").as("ENTITY_NAME"),
         col("other_summary").as("RECORD_SUMMARY")))).as("RELATED_ENTITIES"))
 
+    // SHUFFLE_HASH hints (r6): all four frames share the
+    // hash(entity_id) layout, so these joins are already exchange-free
+    // — but as sort-merge joins each one SORTED its inputs by the
+    // 19-char entity key, including the fat collected-RECORDS side
+    // (the dominant time in the final query's metrics,
+    // tools/AssembleMetrics). A shuffled-hash join builds the narrow
+    // aggregate side and streams the fat side unsorted; join results
+    // are strategy-invariant.
     val base = recordsWithSummary
-      .join(entityName, Seq("entity_id"), "left")
-      .join(featMap, Seq("entity_id"), "left")
-      .join(related, Seq("entity_id"), "left")
+      .join(entityName.hint("SHUFFLE_HASH"), Seq("entity_id"), "left")
+      .join(featMap.hint("SHUFFLE_HASH"), Seq("entity_id"), "left")
+      .join(related.hint("SHUFFLE_HASH"), Seq("entity_id"), "left")
       .withColumn("RELATED_ENTITIES", coalesce(col("RELATED_ENTITIES"),
         array().cast(
           "array<struct<RELATED_ENTITY_KEY:string,ENTITY_ID:bigint," +
