@@ -188,11 +188,13 @@ case class CosineSim(left: Expression, right: Expression)
   */
 case class SpanFirstText(child: Expression, kind: String)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  // defs, not vals: child.dataType is only legal after analysis
-  private def elem: StructType =
+  // lazy vals, not defs: child.dataType is only legal after analysis,
+  // but the interpreted eval path must not re-resolve field ordinals
+  // per row (a copy via withNewChildrenInternal re-creates them)
+  @transient private lazy val elem: StructType =
     child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
-  private def kindOrd: Int = elem.fieldIndex("kind")
-  private def textOrd: Int = elem.fieldIndex("text")
+  @transient private lazy val kindOrd: Int = elem.fieldIndex("kind")
+  @transient private lazy val textOrd: Int = elem.fieldIndex("text")
   @transient private lazy val kindU = UTF8String.fromString(kind)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
