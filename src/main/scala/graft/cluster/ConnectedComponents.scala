@@ -135,7 +135,15 @@ object ConnectedComponents {
       edges: DataFrame,
       maxIterations: Int = 50,
       checkpointDir: Option[String] = None,
-      localFinishEdges: Long = 100000L): (DataFrame, Stats) = {
+      localFinishEdges: Long = 100000L,
+      /** Eagerly materialize the assignments result (default). Callers
+        * that consume the result exactly ONCE (the dedup-groups member
+        * labeling) pass false and skip one driver-serial job — the
+        * lazy union+distinct then runs inside the consumer's own
+        * materialization, reading the already-checkpointed (and, with
+        * `checkpointDir`, durable) fixpoint frame.
+        */
+      materializeAssignments: Boolean = true): (DataFrame, Stats) = {
 
     // Per-iteration materialization MUST truncate the logical plan
     // (localCheckpoint / parquet snapshot), not merely persist: each
@@ -289,13 +297,15 @@ object ConnectedComponents {
     val assignFrame = e.select(col("src").as("doc_id"), col("dst").as("entity_id"))
       .unionAll(roots)
       .distinct()
-    val assignments = checkpointDir match {
-      case Some(dir) =>
-        val path = s"$dir/cc_assignments"
-        assignFrame.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-      case None => assignFrame.localCheckpoint(true)
-    }
+    val assignments =
+      if (!materializeAssignments) assignFrame
+      else checkpointDir match {
+        case Some(dir) =>
+          val path = s"$dir/cc_assignments"
+          assignFrame.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None => assignFrame.localCheckpoint(true)
+      }
     (assignments, Stats(iter, edgeCounts.toSeq))
   }
 

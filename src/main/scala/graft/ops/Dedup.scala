@@ -708,9 +708,12 @@ object Dedup {
     val r = ngramRepPairs(docs, n, threshold, lengthBucket, checkpointDir)
     val repEdges = r.repPairs
       .select(pad(col("rep_a")).as("src"), pad(col("rep_b")).as("dst"))
+    // single consumer (the labeled join below) → skip the eager
+    // assignments job; the union+distinct runs inside g's own
+    // materialization off the durable/checkpointed fixpoint frame
     val (repAssign, ccStats) =
       graft.cluster.ConnectedComponents.run(spark, repEdges,
-        checkpointDir = checkpointDir)
+        checkpointDir = checkpointDir, materializeAssignments = false)
     // member label = its rep's component min (reps without any rep-level
     // edge keep themselves — rep IS the group min); docs with empty
     // shingle sets never entered docToRep and stay singletons.
